@@ -1,0 +1,430 @@
+"""Wasserstein-2 utilities (JAX/XLA).
+
+TPU-first re-design of the reference W2 core
+(reference: ot_vae_lightning/ot/w2_utils.py:40-793). Key departures:
+
+* Pure ``jnp`` functions — no dtype coercion side effects, no warnings, no
+  data-dependent Python branching; everything is jit/vmap/grad-safe.
+* ``sinkhorn_log`` is a ``lax.while_loop`` with an on-device convergence
+  predicate (reference runs a Python loop with a host sync per iteration,
+  ot_vae_lightning/ot/w2_utils.py:307-315).
+* Pairwise dissimilarities use broadcasting instead of
+  ``repeat_interleave``/``repeat`` materialization.
+* The stochastic-transport PD fallback is a per-matrix ``jnp.where`` select
+  instead of a host-side warning + global fallback
+  (reference: ot_vae_lightning/ot/w2_utils.py:444-453).
+* float64 policy: functions compute in the input dtype. On CPU with x64
+  enabled this reproduces the reference double-precision numerics; on TPU
+  callers pass float32 (use ``make_pd=True`` for conditioning headroom).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ot_vae_tpu.ops.matrix import (
+    STABILITY_CONST,
+    eye_like,
+    make_psd,
+    mean_cov,  # noqa: F401  (re-exported, part of the W2 public surface)
+    sqrtm,
+    sqrtm_and_invsqrtm,
+    symmetrize,
+)
+
+__all__ = [
+    "w2_gaussian",
+    "batch_w2_dissimilarity_gaussian_diag",
+    "batch_w2_dissimilarity_gaussian",
+    "batch_ot_gmm",
+    "sinkhorn_log",
+    "SinkhornResult",
+    "gaussian_barycenter",
+    "compute_transport_operators",
+    "apply_transport",
+    "mean_cov",
+]
+
+
+# ******************************************************************************************************************** #
+
+
+def w2_gaussian(
+    mean_source: jax.Array,
+    mean_target: jax.Array,
+    cov_source: jax.Array,
+    cov_target: jax.Array,
+    make_pd: bool = False,
+) -> jax.Array:
+    """Closed-form squared W2 (Gelbrich) distance between Gaussians.
+
+    Batched: means [*, D], covariances [*, D, D] → [*]
+    (reference: ot_vae_lightning/ot/w2_utils.py:40-80).
+    """
+    if make_pd:
+        cov_source = make_psd(symmetrize(cov_source))
+        cov_target = make_psd(symmetrize(cov_target))
+
+    cov_target_sqrt = sqrtm(cov_target)
+    mix = cov_target_sqrt @ cov_source @ cov_target_sqrt
+    mix = symmetrize(mix)
+
+    mean_shift = jnp.sum((mean_source - mean_target) ** 2, axis=-1)
+    traces = jnp.trace(cov_source + cov_target - 2.0 * sqrtm(mix), axis1=-2, axis2=-1)
+    return mean_shift + traces
+
+
+# ******************************************************************************************************************** #
+
+
+def batch_w2_dissimilarity_gaussian_diag(
+    mean_source: jax.Array,
+    mean_target: jax.Array,
+    var_source: jax.Array,
+    var_target: jax.Array,
+) -> jax.Array:
+    """Pairwise W2² between diagonal Gaussians.
+
+    means/vars: source [*, N, D], target [*, M, D] → D[*, N, M]
+    (reference: ot_vae_lightning/ot/w2_utils.py:86-134).
+    """
+    dist_mean = (
+        jnp.sum(mean_source**2, axis=-1, keepdims=True)
+        + jnp.sum(mean_target**2, axis=-1)[..., None, :]
+        - 2.0 * mean_source @ jnp.swapaxes(mean_target, -1, -2)
+    )
+    dist_var = (
+        jnp.sum(var_source, axis=-1, keepdims=True)
+        + jnp.sum(var_target, axis=-1)[..., None, :]
+        - 2.0 * jnp.sqrt(var_source) @ jnp.swapaxes(jnp.sqrt(var_target), -1, -2)
+    )
+    return dist_mean + dist_var
+
+
+def batch_w2_dissimilarity_gaussian(
+    mean_source: jax.Array,
+    mean_target: jax.Array,
+    cov_source: jax.Array,
+    cov_target: jax.Array,
+    make_pd: bool = False,
+) -> jax.Array:
+    """Pairwise W2² between full-covariance Gaussians.
+
+    means [*, N, D] / [*, M, D]; covs [*, N, D, D] / [*, M, D, D] → D[*, N, M].
+
+    Implemented with broadcasting (source on axis -3, target on axis -2) so no
+    N·M materialized repeats are needed (the reference materializes both,
+    ot_vae_lightning/ot/w2_utils.py:183-189). Also fixes the reference's NaN
+    defect (w2_utils.py:263 "TODO: This gives NaN !") by symmetrizing and
+    eigenvalue-clamping inside ``w2_gaussian``.
+    """
+    return w2_gaussian(
+        mean_source[..., :, None, :],
+        mean_target[..., None, :, :],
+        cov_source[..., :, None, :, :],
+        cov_target[..., None, :, :, :],
+        make_pd=make_pd,
+    )
+
+
+# ******************************************************************************************************************** #
+
+
+class SinkhornResult(NamedTuple):
+    plan: jax.Array
+    num_iters: jax.Array
+    err: jax.Array
+
+
+def sinkhorn_log(
+    a: jax.Array,
+    b: jax.Array,
+    C: jax.Array,
+    reg: float = 1e-5,
+    max_iter: int = 1000,
+    threshold: float = STABILITY_CONST,
+    return_extra: bool = False,
+):
+    """Entropic OT coupling via log-domain Sinkhorn fixed-point iteration.
+
+    :param a: source probability vector [*, N]
+    :param b: target probability vector [*, M]
+    :param C: cost matrix [*, N, M]
+    :return: coupling [*, N, M] (with iteration count / final error when
+             ``return_extra``)
+
+    On-device ``lax.while_loop`` with the same update order as the reference
+    (ot_vae_lightning/ot/w2_utils.py:276-319). Stopping rule: iterate until the
+    total-variation of the (u, v) update drops below ``threshold`` for EVERY
+    batch element (the reference stops when the minimum over the batch
+    converges, w2_utils.py:315 — i.e. when any single element converges —
+    which under-iterates the rest of the batch; this is fixed here).
+    """
+    log_a = jnp.log(a + STABILITY_CONST)
+    log_b = jnp.log(b + STABILITY_CONST)
+    Cr = -C / reg
+
+    def one_step(u, v):
+        v_new = log_b - jax.nn.logsumexp(Cr + u[..., :, None], axis=-2)
+        u_new = log_a - jax.nn.logsumexp(Cr + v_new[..., None, :], axis=-1)
+        return u_new, v_new
+
+    def cond(state):
+        u, v, i, err = state
+        return jnp.logical_and(i < max_iter, err >= threshold)
+
+    def body(state):
+        u, v, i, _ = state
+        u_new, v_new = one_step(u, v)
+        diff = jnp.sum(jnp.abs(u_new - u), axis=-1) + jnp.sum(
+            jnp.abs(v_new - v), axis=-1
+        )
+        return u_new, v_new, i + 1, jnp.max(diff)
+
+    u0 = jnp.zeros_like(a)
+    v0 = jnp.zeros_like(b)
+    init_err = jnp.asarray(jnp.inf, dtype=a.dtype)
+    u, v, iters, err = lax.while_loop(cond, body, (u0, v0, jnp.asarray(0), init_err))
+
+    pi = jnp.exp(u[..., :, None] + v[..., None, :] + Cr)
+    if return_extra:
+        return SinkhornResult(pi, iters, err)
+    return pi
+
+
+# ******************************************************************************************************************** #
+
+
+def batch_ot_gmm(
+    mean_source: jax.Array,
+    mean_target: jax.Array,
+    cov_source: jax.Array,
+    cov_target: jax.Array,
+    diag: bool,
+    weight_source: Optional[jax.Array] = None,
+    weight_target: Optional[jax.Array] = None,
+    **sinkhorn_kwargs,
+) -> Tuple[jax.Array, jax.Array]:
+    """Entropy-regularized W2² between Gaussian mixtures (MW2 upper bound).
+
+    Means [*, N, D] / [*, M, D]; covs [*, N, D(,D)] / [*, M, D(,D)];
+    weights [*, N] / [*, M] (uniform when ``None``).
+    Returns (total cost [*], coupling [*, N, M])
+    (reference: ot_vae_lightning/ot/w2_utils.py:197-270).
+    """
+    if weight_source is None:
+        n = mean_source.shape[-2]
+        weight_source = jnp.full(mean_source.shape[:-1], 1.0 / n, mean_source.dtype)
+    if weight_target is None:
+        m = mean_target.shape[-2]
+        weight_target = jnp.full(mean_target.shape[:-1], 1.0 / m, mean_target.dtype)
+
+    if diag:
+        cost_matrix = batch_w2_dissimilarity_gaussian_diag(
+            mean_source, mean_target, cov_source, cov_target
+        )
+    else:
+        cost_matrix = batch_w2_dissimilarity_gaussian(
+            mean_source, mean_target, cov_source, cov_target, make_pd=True
+        )
+
+    max_per_mat = jnp.max(cost_matrix, axis=(-2, -1), keepdims=True)
+    max_per_mat = jnp.maximum(max_per_mat, STABILITY_CONST)
+    coupling = sinkhorn_log(
+        weight_source, weight_target, cost_matrix / max_per_mat, **sinkhorn_kwargs
+    )
+    total_cost = jnp.sum(cost_matrix * coupling, axis=(-2, -1))
+    return total_cost, coupling
+
+
+# ******************************************************************************************************************** #
+
+
+def gaussian_barycenter(
+    mean: jax.Array,
+    cov: jax.Array,
+    weights: jax.Array,
+    diag: bool,
+    n_iter: int = 100,
+) -> Tuple[jax.Array, jax.Array]:
+    """W2 barycenter of Gaussian components via fixed-point iteration
+    (Alvarez-Esteban et al.; reference: ot_vae_lightning/ot/w2_utils.py:325-385).
+
+    :param mean: component means [*, N, D]
+    :param cov: component covariances [*, N, D, D] ([*, N, D] when ``diag``)
+    :param weights: probability vectors [*, N]
+    :return: (mean [*, D], cov [*, D, D] or [*, D])
+
+    The full-covariance fixed point is initialized with the identity matrix
+    (deterministic; the reference draws a random component index,
+    w2_utils.py:376 — both converge to the same fixed point).
+    """
+    w = weights[..., None, :]
+    mean_b = jnp.squeeze(w @ mean, axis=-2)
+
+    if diag:
+        cov_b = jnp.squeeze(w @ jnp.sqrt(cov), axis=-2) ** 2
+        return mean_b, cov_b
+
+    w_mat = weights[..., :, None, None]
+    cov_b0 = jnp.broadcast_to(
+        jnp.eye(cov.shape[-1], dtype=cov.dtype), cov.shape[:-3] + cov.shape[-2:]
+    )[..., None, :, :]
+
+    def body(_, cov_b):
+        sqrt_cov_b = sqrtm(cov_b)
+        mix = symmetrize(sqrt_cov_b @ cov @ sqrt_cov_b)
+        return jnp.sum(w_mat * sqrtm(mix), axis=-3, keepdims=True)
+
+    cov_b = lax.fori_loop(0, n_iter, body, cov_b0)
+    return mean_b, jnp.squeeze(cov_b, axis=-3)
+
+
+# ******************************************************************************************************************** #
+
+
+def _transport_diag(cov_source, cov_target, pg_star):
+    """Eq. 17 (diagonal) — reference: ot_vae_lightning/ot/w2_utils.py:714-725."""
+    T = (1.0 - pg_star) * jnp.sqrt(
+        cov_target / cov_source + STABILITY_CONST
+    ) + pg_star
+    return T, jnp.zeros_like(T)
+
+
+def _transport_diag_stochastic(cov_source, cov_target, pg_star):
+    """Eq. 19 (diagonal) — reference: ot_vae_lightning/ot/w2_utils.py:731-750."""
+    T_star = jnp.sqrt(cov_source / cov_target + STABILITY_CONST)
+    pinv_source = jnp.where(cov_source > STABILITY_CONST, 1.0 / cov_source, 0.0)
+    T = (1.0 - pg_star) * jnp.sqrt(cov_target * cov_source) * pinv_source + pg_star
+    var_w = (
+        math.sqrt(1.0 - pg_star)
+        * cov_target
+        * (1.0 - cov_target * pinv_source * T_star**2)
+    )
+    return T, var_w
+
+
+def _transport_full(cov_source, cov_target, pg_star):
+    """Eq. 17 (full) — reference: ot_vae_lightning/ot/w2_utils.py:756-768."""
+    sqrt_s, isqrt_s = sqrtm_and_invsqrtm(
+        cov_source + STABILITY_CONST * eye_like(cov_source)
+    )
+    inner = sqrtm(symmetrize(sqrt_s @ cov_target @ sqrt_s))
+    T = (1.0 - pg_star) * (isqrt_s @ inner @ isqrt_s) + pg_star * eye_like(cov_source)
+    return T, jnp.zeros_like(T)
+
+
+def _transport_full_stochastic(cov_source, cov_target, pg_star):
+    """Eq. 19 (full) — reference: ot_vae_lightning/ot/w2_utils.py:774-793."""
+    identity = eye_like(cov_source)
+    pinv_source = jnp.linalg.pinv(cov_source)
+    sqrt_t, isqrt_t = sqrtm_and_invsqrtm(cov_target + STABILITY_CONST * identity)
+
+    # Roles swapped on purpose: cov_source may be merely PSD.
+    T_star = _transport_full(cov_source=cov_target, cov_target=cov_source, pg_star=0.0)[0]
+
+    inner = sqrtm(symmetrize(sqrt_t @ cov_source @ sqrt_t))
+    T = (1.0 - pg_star) * (sqrt_t @ inner @ isqrt_t @ pinv_source) + pg_star * identity
+    Cw = (
+        math.sqrt(1.0 - pg_star)
+        * sqrt_t
+        @ (identity - sqrt_t @ T_star @ pinv_source @ T_star @ sqrt_t)
+        @ sqrt_t
+    )
+    return T, Cw
+
+
+def compute_transport_operators(
+    cov_source: jax.Array,
+    cov_target: jax.Array,
+    stochastic: bool,
+    diag: bool,
+    pg_star: float = 0.0,
+    make_pd: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched W2 transport operators, eq. 17/19 of Freirich, Michaeli, Meir,
+    "A Theory of the Distortion-Perception Tradeoff in Wasserstein Space"
+    (reference: ot_vae_lightning/ot/w2_utils.py:391-458).
+
+    :param cov_source: [*, D, D] ([*, D] when ``diag``)
+    :param cov_target: [*, D, D] ([*, D] when ``diag``)
+    :param stochastic: eq. 19 (T, Σw) if ``True``, else eq. 17 (T, 0)
+    :param pg_star: perception-distortion ratio in [0, 1]
+    :return: (T, Σw), each [*, D, D] ([*, D] when ``diag``)
+
+    Where the reference warns and falls back globally when Σw is not PD
+    (w2_utils.py:444-453), this implementation selects the non-stochastic
+    operator per batch element with ``jnp.where`` — jit-safe and strictly
+    more precise.
+    """
+    if diag:
+        if stochastic:
+            cov_source = jnp.where(cov_source < STABILITY_CONST, 0.0, cov_source)
+            T, Cw = _transport_diag_stochastic(cov_source, cov_target, pg_star)
+            T_det, Cw_det = _transport_diag(
+                jnp.maximum(cov_source, STABILITY_CONST), cov_target, pg_star
+            )
+            # Strictly negative only: Cw == 0 (e.g. equal variances) is a valid
+            # noiseless transport, not a degenerate case. (The reference falls
+            # back on `<= 0`, ot_vae_lightning/ot/w2_utils.py:446, which
+            # rejects the exact-match case.)
+            bad = jnp.any(Cw < 0, axis=-1, keepdims=True)
+            return jnp.where(bad, T_det, T), jnp.where(bad, Cw_det, Cw)
+        return _transport_diag(cov_source, cov_target, pg_star)
+
+    if make_pd:
+        cov_source = make_psd(symmetrize(cov_source))
+        cov_target = make_psd(symmetrize(cov_target))
+
+    if stochastic:
+        T, Cw = _transport_full_stochastic(cov_source, cov_target, pg_star)
+        T_det, Cw_det = _transport_full(cov_source, cov_target, pg_star)
+        min_eig_cw = jnp.min(jnp.linalg.eigvalsh(symmetrize(Cw)), axis=-1)
+        bad = (min_eig_cw < -STABILITY_CONST)[..., None, None]
+        return jnp.where(bad, T_det, T), jnp.where(bad, Cw_det, Cw)
+
+    return _transport_full(cov_source, cov_target, pg_star)
+
+
+# ******************************************************************************************************************** #
+
+
+def apply_transport(
+    inputs: jax.Array,
+    mean_source: jax.Array,
+    mean_target: jax.Array,
+    T: jax.Array,
+    Cw: Optional[jax.Array] = None,
+    diag: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Apply the affine W2 transport map: T (x - μs) + μt (+ noise ~ N(0, Σw))
+    (reference: ot_vae_lightning/ot/w2_utils.py:464-527).
+
+    :param inputs: samples to transport [*, D]
+    :param T: transport operator [*, D, D] ([*, D] when ``diag``)
+    :param Cw: optional noise covariance; noise is only added when both ``Cw``
+               and ``key`` are provided (JAX needs an explicit PRNG key where
+               the reference draws implicitly).
+    """
+    x_centered = inputs - mean_source
+    if diag:
+        x_transported = T * x_centered
+    else:
+        x_transported = jnp.squeeze(T @ x_centered[..., :, None], axis=-1)
+    x_transported = x_transported + mean_target
+
+    if Cw is not None and key is not None:
+        eps = jax.random.normal(key, x_transported.shape, dtype=x_transported.dtype)
+        if diag:
+            noise = jnp.sqrt(jnp.clip(Cw, 0.0, None)) * eps
+        else:
+            scale = sqrtm(symmetrize(Cw))
+            noise = jnp.squeeze(scale @ eps[..., :, None], axis=-1)
+        x_transported = x_transported + noise
+
+    return x_transported
