@@ -1,0 +1,216 @@
+"""Streaming metrics as pytree states
+(reference: torchmetrics usage in ot_vae_lightning/model/base.py:90-93 and the
+custom streaming FID, ot_vae_lightning/metrics/fid.py:29-130).
+
+A metric is a config object with pure functions::
+
+    init() -> state (pytree)
+    update(state, **batch) -> state        # jit-safe, psum-free
+    reduce(state, comm) -> state           # cross-device state reduction
+    compute(state) -> scalar
+
+``batch`` carries the keys the reference's MetricCollection update receives:
+``preds``, ``target``, ``samples``, ``generated`` (model/base.py:205-213).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ot_vae_tpu.ops.matrix import make_psd, mean_cov, sqrtm, symmetrize
+from ot_vae_tpu.parallel.comm import NO_COMM, Comm
+
+__all__ = ["PSNR", "FrechetInceptionDistance", "MetricCollection", "Metric"]
+
+
+class Metric:
+    higher_is_better: bool = True
+
+    def init(self):
+        raise NotImplementedError
+
+    def update(self, state, **batch):
+        raise NotImplementedError
+
+    def reduce(self, state, comm: Comm):
+        return comm.psum(state)
+
+    def compute(self, state):
+        raise NotImplementedError
+
+
+class _PSNRState(struct.PyTreeNode):
+    sse: jax.Array
+    n: jax.Array
+    data_min: jax.Array
+    data_max: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PSNR(Metric):
+    """Peak signal-to-noise ratio with the torchmetrics default semantics:
+    when ``data_range`` is None it is inferred from the observed target range
+    (torchmetrics PeakSignalNoiseRatio, used by every reference CI floor)."""
+
+    data_range: Optional[float] = None
+    higher_is_better: bool = True
+
+    def init(self):
+        return _PSNRState(
+            sse=jnp.zeros(()), n=jnp.zeros(()),
+            data_min=jnp.asarray(jnp.inf), data_max=jnp.asarray(-jnp.inf),
+        )
+
+    def update(self, state, preds=None, target=None, **_):
+        if preds is None or target is None:
+            return state
+        return _PSNRState(
+            sse=state.sse + jnp.sum((preds.astype(jnp.float32) - target) ** 2),
+            n=state.n + np.prod(target.shape),
+            data_min=jnp.minimum(state.data_min, jnp.min(target)),
+            data_max=jnp.maximum(state.data_max, jnp.max(target)),
+        )
+
+    def reduce(self, state, comm: Comm):
+        return _PSNRState(
+            sse=comm.psum(state.sse), n=comm.psum(state.n),
+            data_min=comm.pmin(state.data_min),
+            data_max=comm.pmax(state.data_max),
+        )
+
+    def compute(self, state):
+        rng = (
+            self.data_range
+            if self.data_range is not None
+            else state.data_max - state.data_min
+        )
+        mse = state.sse / jnp.maximum(state.n, 1.0)
+        return 10.0 * jnp.log10(rng**2 / jnp.maximum(mse, 1e-12))
+
+
+class _FIDState(struct.PyTreeNode):
+    real_sum: jax.Array
+    real_gram: jax.Array
+    real_n: jax.Array
+    fake_sum: jax.Array
+    fake_gram: jax.Array
+    fake_n: jax.Array
+
+
+def _default_features(feature_size: int) -> Callable:
+    """Offline stand-in for InceptionV3 (no pretrained weights without network
+    egress): fixed seeded random-projection features of multi-scale image
+    statistics. Deterministic across runs; pass a real feature net via
+    ``feature_fn`` for production FID."""
+
+    def fn(images: jax.Array) -> jax.Array:
+        b = images.shape[0]
+        if images.shape[-1] == 1:
+            images = jnp.tile(images, (1, 1, 1, 3))
+        pooled = [images]
+        x = images
+        for _ in range(2):
+            x = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            ) / 4.0
+            pooled.append(x)
+        feats = jnp.concatenate([p.reshape(b, -1) for p in pooled], axis=-1)
+        key = jax.random.PRNGKey(1234)
+        proj = jax.random.normal(key, (feats.shape[-1], feature_size)) / np.sqrt(
+            feats.shape[-1]
+        )
+        return jnp.tanh(feats @ proj)
+
+    return fn
+
+
+@dataclasses.dataclass(frozen=True)
+class FrechetInceptionDistance(Metric):
+    """Streaming FID: accumulates Σf and the Gram matrix Σffᵀ instead of
+    buffering features (reference: metrics/fid.py:90-122); returns +inf below
+    ``min_obs`` observations (reference: fid.py:126)."""
+
+    feature_size: int = 2048
+    feature_fn: Optional[Callable] = None
+    min_obs: int = 1000
+    higher_is_better: bool = False
+
+    def _features(self, images):
+        fn = self.feature_fn or _default_features(self.feature_size)
+        return fn(images)
+
+    def init(self):
+        d = self.feature_size
+        z = jnp.zeros
+        return _FIDState(z((d,)), z((d, d)), z(()), z((d,)), z((d, d)), z(()))
+
+    def update(self, state, samples=None, generated=None, **_):
+        if generated is not None:
+            f = self._features(generated).astype(jnp.float32)
+            state = state.replace(
+                real_sum=state.real_sum + f.sum(0),
+                real_gram=state.real_gram + f.T @ f,
+                real_n=state.real_n + f.shape[0],
+            )
+        if samples is not None:
+            f = self._features(samples).astype(jnp.float32)
+            state = state.replace(
+                fake_sum=state.fake_sum + f.sum(0),
+                fake_gram=state.fake_gram + f.T @ f,
+                fake_n=state.fake_n + f.shape[0],
+            )
+        return state
+
+    def compute(self, state):
+        mean_r, cov_r = mean_cov(
+            state.real_sum, state.real_gram, jnp.maximum(state.real_n, 1.0)
+        )
+        mean_f, cov_f = mean_cov(
+            state.fake_sum, state.fake_gram, jnp.maximum(state.fake_n, 1.0)
+        )
+        cov_r = make_psd(symmetrize(cov_r))
+        cov_f = make_psd(symmetrize(cov_f))
+        mix = sqrtm(symmetrize(sqrtm(cov_r) @ cov_f @ sqrtm(cov_r)))
+        fid = jnp.sum((mean_r - mean_f) ** 2) + jnp.trace(cov_r + cov_f - 2 * mix)
+        enough = jnp.logical_and(
+            state.real_n >= self.min_obs, state.fake_n >= self.min_obs
+        )
+        return jnp.where(enough, fid, jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class MetricCollection:
+    """Named metrics updated together with a shared prefix
+    (reference: torchmetrics MetricCollection cloning, model/base.py:90-93)."""
+
+    metrics: Dict[str, Metric]
+    prefix: str = ""
+
+    def clone(self, prefix: str) -> "MetricCollection":
+        return MetricCollection(dict(self.metrics), prefix)
+
+    def init(self):
+        return {name: m.init() for name, m in self.metrics.items()}
+
+    def update(self, states, **batch):
+        return {
+            name: self.metrics[name].update(states[name], **batch)
+            for name in self.metrics
+        }
+
+    def reduce(self, states, comm: Comm = NO_COMM):
+        return {
+            name: self.metrics[name].reduce(states[name], comm)
+            for name in self.metrics
+        }
+
+    def compute(self, states) -> Dict[str, jax.Array]:
+        return {
+            self.prefix + name: self.metrics[name].compute(states[name])
+            for name in self.metrics
+        }

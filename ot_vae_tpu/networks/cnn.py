@@ -1,0 +1,413 @@
+"""Modular CNN encoder/decoder stack (flax.linen, NHWC).
+
+TPU-first re-design of the reference CNN family
+(reference: ot_vae_lightning/networks/cnn.py:33-672) preserving the
+capability set: norm→FiLM→act→upsample→conv→downsample layer ordering
+(BigGAN-style), conditional FiLM scale/bias from class+time embeddings,
+equalized learning rate, residual add/cat blocks with 1×1 skips, spatial
+self-attention gated to low resolutions, and the auto-derived
+channel/resolution schedule.
+
+Layout: NHWC (channels-last — TPU lane dimension); ``out_size`` contracts are
+reported as (H, W, C). Downsampling is a strided conv, upsampling a
+nearest-neighbor resize before the conv (matching the reference's effective
+behavior, cnn.py:96-111).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ot_vae_tpu.networks.nets_utils import (
+    EqualConv,
+    EqualDense,
+    GaussianFourierProjection,
+    Normalization,
+    div_sqrt,
+    get_activation,
+    spatial_attention,
+)
+
+__all__ = ["ConvLayer", "ConvBlock", "AttentionBlock", "CNN", "AutoEncoder",
+           "get_channel_list", "get_block_scaling"]
+
+
+class ConvLayer(nn.Module):
+    """norm → FiLM(embed) → act → upsample → conv(strided if down) → dropout
+    (reference: networks/cnn.py:33-192)."""
+
+    features: int
+    down_sample: Union[bool, int] = False
+    up_sample: Union[bool, int] = False
+    additional_embed: bool = False
+    normalization: Optional[str] = None
+    activation: Optional[str] = None
+    equalized_lr: Optional[float] = None
+    dropout: float = 0.0
+    kernel_size: int = 3
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+        in_features = x.shape[-1]
+        groups = self.groups if (in_features % self.groups == 0 and
+                                 self.features % self.groups == 0) else 1
+        act = get_activation(self.activation)
+
+        out = Normalization(self.normalization, in_features, groups)(x, train)
+
+        if self.additional_embed:
+            if embed is None:
+                raise ValueError("layer is embed-conditioned but `embed` is None")
+            lr = self.equalized_lr or 1.0
+            scale = EqualDense(in_features, lr_mult=lr, dtype=self.dtype)(act(embed))
+            bias = EqualDense(in_features, lr_mult=lr, dtype=self.dtype)(act(embed))
+            out = out * scale[:, None, None, :] + bias[:, None, None, :]
+
+        out = act(out)
+
+        if self.up_sample:
+            factor = 2 if isinstance(self.up_sample, bool) else int(self.up_sample)
+            b, h, w, c = out.shape
+            out = jax.image.resize(out, (b, h * factor, w * factor, c), "nearest")
+
+        kernel, stride = self.kernel_size, 1
+        if self.down_sample:
+            factor = 2 if isinstance(self.down_sample, bool) else int(self.down_sample)
+            kernel = max(2 * factor, kernel)
+            stride = factor
+        out = EqualConv(
+            self.features, (kernel, kernel), (stride, stride),
+            padding=[((kernel - 1) // 2, kernel // 2)] * 2 if stride > 1
+            else [((kernel - 1) // 2, kernel - 1 - (kernel - 1) // 2)] * 2,
+            feature_group_count=groups, use_bias=self.use_bias,
+            equalized_lr=self.equalized_lr, dtype=self.dtype,
+        )(out)
+
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class Conv1x1(nn.Module):
+    """1×1 conv (optionally normalized / resampled) used for skips and qkv
+    (reference: networks/cnn.py:195-206)."""
+
+    features: int
+    down_sample: Union[bool, int] = False
+    up_sample: Union[bool, int] = False
+    normalization: Optional[str] = None
+    additional_embed: bool = False
+    equalized_lr: Optional[float] = None
+    groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+        return ConvLayer(
+            self.features, self.down_sample, self.up_sample, self.additional_embed,
+            self.normalization, None, self.equalized_lr, 0.0, 1,
+            self.groups, False, self.dtype,
+        )(x, embed, train)
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention: 1×1 qkv → multi-head attention → 1×1 proj
+    (reference: networks/cnn.py:212-240)."""
+
+    channels: int
+    heads: int = 1
+    additional_embed: bool = False
+    normalization: Optional[str] = None
+    equalized_lr: Optional[float] = None
+    groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+        b, h, w, c = x.shape
+        qkv = Conv1x1(
+            self.channels * 3, normalization=self.normalization,
+            additional_embed=self.additional_embed,
+            equalized_lr=self.equalized_lr, groups=self.groups, dtype=self.dtype,
+        )(x, embed, train)
+        out = spatial_attention(qkv.reshape(b, h * w, 3 * c), self.heads)
+        out = out.reshape(b, h, w, c)
+        return Conv1x1(
+            self.channels, equalized_lr=self.equalized_lr,
+            groups=self.groups, dtype=self.dtype,
+        )(out, None, train)
+
+
+class ConvBlock(nn.Module):
+    """Resampling layer + (n_layers-1) fixed layers + optional attention, with
+    residual add/cat through a 1×1 skip (reference: networks/cnn.py:246-335)."""
+
+    features: int
+    n_attn_heads: int = 0
+    n_layers: int = 2
+    down_sample: Union[bool, int] = False
+    up_sample: Union[bool, int] = False
+    additional_embed: bool = False
+    normalization: Optional[str] = "batchnorm"
+    activation: Optional[str] = "relu"
+    residual: Optional[str] = None
+    equalized_lr: Optional[float] = None
+    dropout: float = 0.0
+    kernel_size: int = 3
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+        embed_features = self.features // 2 if self.residual == "cat" else self.features
+        out = ConvLayer(
+            embed_features, self.down_sample, self.up_sample, self.additional_embed,
+            self.normalization, self.activation, self.equalized_lr, self.dropout,
+            self.kernel_size, self.groups, self.use_bias, self.dtype,
+        )(x, embed, train)
+        for _ in range(self.n_layers - 1):
+            out = ConvLayer(
+                embed_features, False, False, self.additional_embed,
+                self.normalization, self.activation, self.equalized_lr, self.dropout,
+                self.kernel_size, self.groups, self.use_bias, self.dtype,
+            )(out, embed, train)
+        if self.n_attn_heads > 0:
+            out = out + AttentionBlock(
+                embed_features, self.n_attn_heads, self.additional_embed,
+                self.normalization, self.equalized_lr, self.groups, self.dtype,
+            )(out, embed, train)
+
+        if self.residual in ("cat", "add"):
+            skip = Conv1x1(
+                embed_features, self.down_sample, self.up_sample,
+                self.normalization, False, self.equalized_lr, self.groups, self.dtype,
+            )(x, None, train)
+            if self.residual == "cat":
+                return jnp.concatenate([out, skip], axis=-1)
+            return out + skip
+        return out
+
+
+def get_block_scaling(max_resolution: int, min_resolution: int, max_scaling: int) -> List[int]:
+    """Consecutive per-block scaling factors from high to low resolution
+    (reference: networks/cnn.py:605-621). get_block_scaling(64, 2, 4) → [4, 4, 2]."""
+    log_res_ratio = int(math.log2(max_resolution // min_resolution))
+    log_scale = int(math.log2(max_scaling))
+    mapping: List[int] = []
+    while log_res_ratio > 0:
+        mapping.extend([int(2**log_scale)] * (log_res_ratio // log_scale))
+        log_res_ratio %= log_scale
+        log_scale -= 1
+    return mapping
+
+
+def get_channel_list(
+    in_features: int, out_features: int, in_resolution: int, out_resolution: int,
+    scaling_factor: int, capacity: int,
+) -> Tuple[List[int], List[int]]:
+    """Channel/resolution schedule: channels double per block as resolution
+    drops (reference: networks/cnn.py:627-654)."""
+    factors = get_block_scaling(in_resolution, out_resolution, scaling_factor)
+    features = [max(min(2**i * capacity, out_features), in_features)
+                for i, _ in enumerate(factors)]
+    resolutions = [in_resolution]
+    for sf in factors:
+        resolutions.append(resolutions[-1] // sf)
+    features[-1] = out_features
+    features = [in_features] + features
+    return features, resolutions
+
+
+def _plan_cnn(
+    in_features, out_features, in_resolution, out_resolution,
+    intermediate_features, capacity, max_attn_res, down_sample, up_sample,
+):
+    """Resolve the block plan: (features list, attn resolutions, sampling)."""
+    if bool(up_sample) and bool(down_sample):
+        raise ValueError("Both `up_sample` and `down_sample` are set.")
+    if intermediate_features is not None:
+        features = [in_features] + list(intermediate_features) + [out_features]
+        attn_res = [max_attn_res + 1] * len(features)  # unknown extent: no attention
+        return features, attn_res
+    if not (in_resolution and out_resolution and (bool(up_sample) or bool(down_sample))):
+        raise ValueError(
+            "Set `in_resolution`, `out_resolution` and (`up_sample` or `down_sample`)"
+            " to infer the block plan, or pass `intermediate_features`."
+        )
+    if bool(down_sample):
+        if in_resolution <= out_resolution:
+            raise ValueError("`down_sample` set but `in_resolution` <= `out_resolution`")
+        ds = 2 if isinstance(down_sample, bool) else int(down_sample)
+        features, resolutions = get_channel_list(
+            in_features, out_features, in_resolution, out_resolution, ds, capacity
+        )
+        return features, resolutions[1:]
+    if out_resolution <= in_resolution:
+        raise ValueError("`up_sample` set but `out_resolution` <= `in_resolution`")
+    us = 2 if isinstance(up_sample, bool) else int(up_sample)
+    features, resolutions = get_channel_list(
+        out_features, in_features, out_resolution, in_resolution, us, capacity
+    )
+    return features[::-1], resolutions[::-1][:-1]
+
+
+class CNN(nn.Module):
+    """Stack of ConvBlocks with the auto channel/resolution schedule
+    (reference: networks/cnn.py:341-458). ``out_size`` = (H, W, C), NHWC."""
+
+    in_features: int
+    out_features: int
+    in_resolution: Optional[int] = None
+    out_resolution: Optional[int] = None
+    intermediate_features: Optional[Sequence[int]] = None
+    capacity: int = 8
+    max_attn_res: int = 16
+    n_layers: int = 2
+    residual: Optional[str] = None
+    down_sample: Union[bool, int] = False
+    up_sample: Union[bool, int] = False
+    additional_embed: bool = False
+    normalization: Optional[str] = "batchnorm"
+    activation: Optional[str] = "relu"
+    equalized_lr: Optional[float] = None
+    dropout: float = 0.0
+    kernel_size: int = 3
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def out_size(self) -> Tuple[int, int, int]:
+        return (self.out_resolution, self.out_resolution, self.out_features)
+
+    @nn.compact
+    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+        features, attn_res = _plan_cnn(
+            self.in_features, self.out_features, self.in_resolution,
+            self.out_resolution, self.intermediate_features, self.capacity,
+            self.max_attn_res, self.down_sample, self.up_sample,
+        )
+        for oc, r in zip(features[1:], attn_res):
+            heads = div_sqrt(oc) if r <= self.max_attn_res else 0
+            x = ConvBlock(
+                oc, heads, self.n_layers, self.down_sample, self.up_sample,
+                self.additional_embed, self.normalization, self.activation,
+                self.residual, self.equalized_lr, self.dropout, self.kernel_size,
+                self.groups, self.use_bias, self.dtype,
+            )(x, embed, train)
+        return x
+
+
+class AutoEncoder(nn.Module):
+    """Encoder+decoder CNN pair with shared class/time embeddings
+    (reference: networks/cnn.py:463-601). ``latent_size`` = (H, W, C)."""
+
+    in_features: int
+    latent_features: int
+    in_resolution: Optional[int] = None
+    latent_resolution: Optional[int] = None
+    intermediate_features: Optional[Sequence[int]] = None
+    capacity: int = 8
+    max_attn_res: int = 16
+    num_classes: Optional[int] = None
+    time_embed_dim: Optional[int] = None
+    double_encoded_features: bool = False
+    n_layers: int = 2
+    residual: Optional[str] = None
+    down_up_sample: Union[bool, int] = False
+    normalization: Optional[str] = "batchnorm"
+    activation: Optional[str] = "relu"
+    equalized_lr: Optional[float] = None
+    dropout: float = 0.0
+    kernel_size: int = 3
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def latent_size(self) -> Tuple[int, int, int]:
+        return (
+            self.latent_resolution, self.latent_resolution,
+            self.latent_features * (1 + int(self.double_encoded_features)),
+        )
+
+    @property
+    def _cls_embed_dim(self) -> Optional[int]:
+        if not self.num_classes:
+            return None
+        return 2 ** (int(math.log10(self.num_classes)) + 5)
+
+    @property
+    def _embed_dim(self) -> Optional[int]:
+        dims = [d for d in (self._cls_embed_dim, self.time_embed_dim) if d]
+        return sum(dims) if dims else None
+
+    def setup(self):
+        if self.num_classes:
+            self.class_embed = nn.Embed(self.num_classes, self._cls_embed_dim,
+                                        dtype=self.dtype)
+        if self.time_embed_dim:
+            self.time_embed = GaussianFourierProjection(
+                self.time_embed_dim, self.time_embed_dim, dtype=self.dtype
+            )
+        common = dict(
+            intermediate_features=self.intermediate_features, capacity=self.capacity,
+            max_attn_res=self.max_attn_res, n_layers=self.n_layers,
+            residual=self.residual, additional_embed=self._embed_dim is not None,
+            normalization=self.normalization, activation=self.activation,
+            equalized_lr=self.equalized_lr, dropout=self.dropout,
+            kernel_size=self.kernel_size, groups=self.groups,
+            use_bias=self.use_bias, dtype=self.dtype,
+        )
+        self.encoder = CNN(
+            self.in_features,
+            self.latent_features * (1 + int(self.double_encoded_features)),
+            self.in_resolution, self.latent_resolution,
+            down_sample=self.down_up_sample, **common,
+        )
+        dec_common = dict(common)
+        if self.intermediate_features is not None:
+            dec_common["intermediate_features"] = list(self.intermediate_features)[::-1]
+        self.decoder = CNN(
+            self.latent_features, self.in_features,
+            self.latent_resolution, self.in_resolution,
+            up_sample=self.down_up_sample, **dec_common,
+        )
+
+    def embed(self, labels=None, time=None):
+        """Joint class+time embedding (reference: networks/cnn.py:563-591)."""
+        parts = []
+        if self.num_classes:
+            if labels is None:
+                raise ValueError("`num_classes` set but `labels` is None")
+            parts.append(self.class_embed(labels))
+        if self.time_embed_dim:
+            if time is None:
+                raise ValueError("`time_embed_dim` set but `time` is None")
+            parts.append(self.time_embed(time))
+        if not parts:
+            return None
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+    def encode(self, x, labels=None, time=None, train: bool = False):
+        return self.encoder(x, self.embed(labels, time), train)
+
+    def decode(self, z, labels=None, time=None, train: bool = False):
+        return self.decoder(z, self.embed(labels, time), train)
+
+    def __call__(self, x, labels=None, time=None, train: bool = False):
+        z = self.encode(x, labels, time, train)
+        if self.double_encoded_features:
+            # keep the mean half — the log-variance half belongs to the prior's
+            # reparametrization (the reference's forward breaks here,
+            # networks/cnn.py:599-600)
+            z = z[..., : self.latent_features]
+        return self.decode(z, labels, time, train)

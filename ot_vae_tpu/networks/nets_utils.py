@@ -1,0 +1,200 @@
+"""Network building blocks (reference: ot_vae_lightning/networks/nets_utils.py).
+
+All modules are flax.linen, NHWC layout (TPU-native: channels on the lane
+dimension). Conditioning (class/time embeddings) is passed explicitly as an
+``embed`` argument — the reference's runtime kwargs filtering
+(``FilterSequential``, nets_utils.py:10-19) is replaced by static capability
+declaration at construction.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = [
+    "GaussianFourierProjection",
+    "EqualDense",
+    "EqualConv",
+    "spatial_attention",
+    "div_sqrt",
+    "get_activation",
+    "Normalization",
+]
+
+
+def div_sqrt(n: int) -> int:
+    """Divisor of ``n`` closest to (and ≥) sqrt(n)
+    (reference: networks/cnn.py:660-672)."""
+    assert isinstance(n, int) and n > 0
+    divs = sorted(d for d in range(1, n + 1) if n % d == 0)
+    s = math.sqrt(n)
+    for d in divs:
+        if d >= s:
+            return d
+    return divs[-1]
+
+
+def get_activation(name: Optional[str]) -> Callable:
+    if name is None or "none" in str(name).lower() or "null" in str(name).lower():
+        return lambda x: x
+    name = name.lower()
+    if "leaky" in name:
+        return lambda x: jax.nn.leaky_relu(x, 0.2)
+    if "relu" in name:
+        return jax.nn.relu
+    if "selu" in name:
+        return jax.nn.selu
+    if "gelu" in name:
+        return jax.nn.gelu
+    if "silu" in name or "swish" in name:
+        return jax.nn.silu
+    raise NotImplementedError(f"activation={name} not supported")
+
+
+class Normalization(nn.Module):
+    """Pluggable normalization (reference: networks/cnn.py:120-125):
+    none | batch | group | instance — NHWC."""
+
+    kind: Optional[str]
+    features: int
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kind = (self.kind or "none").lower()
+        if "none" in kind or "null" in kind:
+            return x
+        if "batch" in kind:
+            # momentum 0.9 matches torch's default adaptation rate — flax's
+            # 0.99 default makes eval stats lag badly in short runs
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, axis_name=None
+            )(x)
+        if "group" in kind:
+            return nn.GroupNorm(num_groups=div_sqrt(self.features // self.groups))(x)
+        if "instance" in kind:
+            # per-sample, per-channel normalization over spatial dims
+            return nn.GroupNorm(num_groups=self.features)(x)
+        raise NotImplementedError(f"normalization={self.kind} not supported")
+
+
+class EqualDense(nn.Module):
+    """Dense layer with equalized learning rate (ProGAN-style): params are
+    initialized at std 1/lr_mult and rescaled by gain/sqrt(fan_in)·lr_mult at
+    run time (reference: networks/cnn.py:114-118, utils/elr.py)."""
+
+    features: int
+    lr_mult: float = 1.0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=1.0 / self.lr_mult),
+            (in_features, self.features),
+            self.dtype,
+        )
+        scale = float(self.lr_mult / np.sqrt(in_features))
+        y = x @ (w * scale)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
+            y = y + b * self.lr_mult
+        return y
+
+
+class EqualConv(nn.Module):
+    """NHWC conv with optional equalized learning rate."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    equalized_lr: Optional[float] = None
+    dtype: Any = jnp.float32
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.equalized_lr is None:
+            return nn.Conv(
+                self.features, self.kernel_size, self.strides, self.padding,
+                feature_group_count=self.feature_group_count,
+                use_bias=self.use_bias, dtype=self.dtype,
+                kernel_init=self.kernel_init or nn.initializers.lecun_normal(),
+            )(x)
+        lr_mult = self.equalized_lr
+        in_features = x.shape[-1] // self.feature_group_count
+        kshape = (*self.kernel_size, in_features, self.features)
+        w = self.param(
+            "kernel", nn.initializers.normal(stddev=1.0 / lr_mult), kshape, self.dtype
+        )
+        fan_in = int(np.prod(self.kernel_size)) * in_features
+        scale = float(lr_mult / np.sqrt(fan_in))
+        y = jax.lax.conv_general_dilated(
+            x, w * scale, tuple(self.strides), self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
+            y = y + b * lr_mult
+        return y
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian random features for encoding time in [0, 1]
+    (reference: networks/nets_utils.py:22-52)."""
+
+    dim: int
+    out_dim: Optional[int] = None
+    n_layers: int = 3
+    scale: float = 30.0
+    trainable: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        if t.ndim != 1:
+            raise ValueError("`t` is expected to be 1-dimensional")
+        init = nn.initializers.normal(stddev=self.scale)
+        w = self.param("weight", init, (1, self.dim // 2), self.dtype)
+        if not self.trainable:
+            w = jax.lax.stop_gradient(w)
+        proj = t[:, None] * w * 2.0 * np.pi
+        h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        if self.out_dim is not None:
+            h = nn.Dense(self.out_dim, dtype=self.dtype)(h)
+            for _ in range(self.n_layers - 1):
+                h = nn.Dense(self.out_dim, dtype=self.dtype)(jax.nn.relu(h))
+        return h
+
+
+def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
+    """Multi-head self-attention over flattened spatial positions.
+
+    :param qkv: [B, T, 3·H·C] packed queries/keys/values
+    :return: [B, T, H·C]
+
+    One fused einsum per side — lands on the MXU
+    (reference einsum layout: networks/nets_utils.py:55-82).
+    """
+    b, t, width = qkv.shape
+    assert width % (3 * n_heads) == 0, f"width {width} not divisible by 3*{n_heads}"
+    ch = width // (3 * n_heads)
+    q, k, v = jnp.split(qkv.reshape(b, t, 3, n_heads, ch), 3, axis=2)
+    q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # [B, T, H, C]
+    scale = 1.0 / np.sqrt(np.sqrt(ch))
+    logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("bhts,bshc->bthc", weights, v)
+    return out.reshape(b, t, n_heads * ch)

@@ -1,0 +1,175 @@
+"""Callback protocol + built-in callbacks
+(reference: Lightning callbacks injected by VisionCLI, model/base.py:311-342,
+and the Collage logger, utils/collage.py:29-121).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["Callback", "EarlyStopping", "ModelCheckpointCallback", "Collage",
+           "list_to_collage"]
+
+
+class Callback:
+    """Hook points mirroring the Lightning callback surface the reference
+    uses (ot/transport_callback.py, data/progressive_callback.py)."""
+
+    def on_fit_start(self, trainer, model): ...
+    def on_fit_end(self, trainer, model): ...
+    def on_train_epoch_start(self, trainer, model): ...
+    def on_train_epoch_end(self, trainer, model): ...
+    def on_train_batch_end(self, trainer, model, outputs, batch, batch_idx): ...
+    def on_validation_epoch_start(self, trainer, model): ...
+    def on_validation_batch_end(self, trainer, model, outputs, batch, batch_idx): ...
+    def on_validation_epoch_end(self, trainer, model): ...
+    def on_test_epoch_start(self, trainer, model): ...
+    def on_test_batch_end(self, trainer, model, outputs, batch, batch_idx): ...
+    def on_test_epoch_end(self, trainer, model): ...
+
+
+@dataclasses.dataclass
+class EarlyStopping(Callback):
+    """Stop when the monitored metric stops improving
+    (reference defaults: min_delta 0.1, patience 5 — model/base.py:316-324)."""
+
+    monitor: Optional[str] = None
+    mode: Optional[str] = None
+    min_delta: float = 0.1
+    patience: int = 5
+
+    def __post_init__(self):
+        self.best: Optional[float] = None
+        self.count = 0
+
+    def on_validation_epoch_end(self, trainer, model):
+        monitor = self.monitor or trainer.monitor
+        mode = self.mode or model.mode
+        value = trainer.logged_metrics.get(monitor)
+        if value is None:
+            return
+        value = float(value)
+        sign = 1.0 if mode == "max" else -1.0
+        if self.best is None or sign * (value - self.best) > self.min_delta:
+            self.best = value
+            self.count = 0
+        else:
+            self.count += 1
+            if self.count >= self.patience:
+                trainer.should_stop = True
+
+
+@dataclasses.dataclass
+class ModelCheckpointCallback(Callback):
+    """Save top-k checkpoints on the monitored metric
+    (reference defaults: save_top_k 10 — model/base.py:327-333)."""
+
+    dirpath: str = "checkpoints"
+    monitor: Optional[str] = None
+    mode: Optional[str] = None
+    save_top_k: int = 10
+    filename: str = "epoch{epoch:02d}-{value:.3f}"
+
+    def __post_init__(self):
+        self.saved: List[tuple] = []  # (value, path)
+
+    def on_validation_epoch_end(self, trainer, model):
+        from ot_vae_tpu.trainer.checkpoint import save_checkpoint
+
+        monitor = self.monitor or trainer.monitor
+        mode = self.mode or model.mode
+        value = trainer.logged_metrics.get(monitor)
+        if value is None:
+            return
+        value = float(value)
+        sign = 1.0 if mode == "max" else -1.0
+        path = Path(self.dirpath) / self.filename.format(
+            epoch=trainer.current_epoch, value=value
+        )
+        if len(self.saved) < self.save_top_k or sign * value > sign * min(
+            (sign * v for v, _ in self.saved), default=-math.inf
+        ):
+            os.makedirs(self.dirpath, exist_ok=True)
+            save_checkpoint(path, trainer.state, model,
+                            metadata={"epoch": trainer.current_epoch,
+                                      monitor: value})
+            self.saved.append((value, str(path)))
+            self.saved.sort(key=lambda t: sign * t[0], reverse=True)
+            while len(self.saved) > self.save_top_k:
+                _, stale = self.saved.pop()
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+
+    @property
+    def best_path(self) -> Optional[str]:
+        return self.saved[0][1] if self.saved else None
+
+
+def list_to_collage(images: List[np.ndarray], num_samples: int) -> np.ndarray:
+    """Stack image lists into one grid: each list entry becomes a row of
+    ``num_samples`` images (reference: utils/collage.py:112-121). NHWC → HWC."""
+    rows = []
+    for imgs in images:
+        imgs = np.asarray(imgs)[:num_samples]
+        rows.append(np.concatenate(list(imgs), axis=1))  # side by side
+    return np.concatenate(rows, axis=0)
+
+
+@dataclasses.dataclass
+class Collage(Callback):
+    """Logs image grids from the model's declared collage methods
+    (reference: utils/collage.py:29-121 — discovers ``@Collage.log_method``;
+    here models declare ``collage_methods`` statically). Writes PNGs under
+    ``out_dir`` (the reference's local fallback) and forwards to
+    ``trainer.logger.log_image`` when available."""
+
+    log_interval: int = 100
+    num_samples: int = 8
+    out_dir: str = "collages"
+
+    def on_validation_epoch_end(self, trainer, model):
+        if trainer.current_epoch % max(1, self.log_interval // 100) != 0:
+            pass  # epoch-level frequency is cheap; always log
+        methods = getattr(model, "collage_methods", [])
+        if not methods:
+            return
+        batch = trainer.first_val_batch
+        if batch is None:
+            return
+        pbatch = model.batch_preprocess(
+            jax.tree_util.tree_map(np.asarray, batch), train=False
+        )
+        key = jax.random.PRNGKey(trainer.current_epoch)
+        for name in methods:
+            try:
+                imgs = getattr(model, name)(pbatch, key)
+            except Exception as e:  # collage failures must not kill training
+                trainer.print(f"collage '{name}' failed: {e}")
+                continue
+            grid = list_to_collage([np.asarray(i) for i in imgs], self.num_samples)
+            self._log(trainer, name, grid)
+
+    def _log(self, trainer, name: str, grid: np.ndarray):
+        if hasattr(trainer.logger, "log_image"):
+            trainer.logger.log_image(name, grid, trainer.global_step)
+            return
+        os.makedirs(self.out_dir, exist_ok=True)
+        arr = np.clip(grid, 0.0, 1.0)
+        arr = (arr * 255).astype(np.uint8)
+        if arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        try:
+            from PIL import Image
+
+            Image.fromarray(arr).save(
+                Path(self.out_dir) / f"{name}_epoch{trainer.current_epoch}.png"
+            )
+        except Exception:
+            np.save(Path(self.out_dir) / f"{name}_epoch{trainer.current_epoch}.npy", arr)

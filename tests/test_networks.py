@@ -1,0 +1,173 @@
+"""Network shape/capability tests
+(parity: reference constructor configs in tests/test_mnist_cnn_vae.py:52-72,
+tests/test_conditional_vit_vae.py; NHWC layout, out_size=(H, W, C))."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ot_vae_tpu.networks import (
+    CNN,
+    AutoEncoder,
+    AutoRegressive,
+    ViT,
+    div_sqrt,
+    get_block_scaling,
+    get_channel_list,
+)
+
+F32 = jnp.float32
+
+
+def _init_apply(module, *args, train=False, **kwargs):
+    key = jax.random.PRNGKey(0)
+    variables = module.init(
+        {"params": key, "dropout": key}, *args, train=train, **kwargs
+    )
+    out = module.apply(
+        variables, *args, train=train, **kwargs,
+        rngs={"dropout": key},
+        mutable=["batch_stats"] if "batch_stats" in variables else False,
+    )
+    if isinstance(out, tuple):
+        out = out[0]
+    return out, variables
+
+
+def test_channel_schedule():
+    assert get_block_scaling(64, 2, 4) == [4, 4, 2]
+    feats, res = get_channel_list(3, 256, 128, 4, 2, 16)
+    assert feats == [3, 16, 32, 64, 128, 256]
+    assert res == [128, 64, 32, 16, 8, 4]
+    assert div_sqrt(64) == 8
+    assert div_sqrt(12) == 4
+
+
+def test_cnn_encoder_decoder_shapes(rng):
+    """The MNIST32 CI config: 32×32×1 → 1×1×256 → decode back
+    (reference: tests/test_mnist_cnn_vae.py:52-72)."""
+    enc = CNN(1, 256, 32, 1, capacity=8, down_sample=True, residual="add")
+    dec = CNN(128, 1, 1, 32, capacity=8, up_sample=True, residual="add")
+    assert enc.out_size == (1, 1, 256)
+    assert dec.out_size == (32, 32, 1)
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 1)), F32)
+    z, _ = _init_apply(enc, x)
+    assert z.shape == (2, 1, 1, 256)
+    y, _ = _init_apply(dec, jnp.asarray(rng.standard_normal((2, 1, 1, 128)), F32))
+    assert y.shape == (2, 32, 32, 1)
+
+
+def test_cnn_residual_cat_and_groupnorm(rng):
+    enc = CNN(3, 64, 16, 4, capacity=8, down_sample=True, residual="cat",
+              normalization="groupnorm", activation="silu")
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), F32)
+    z, _ = _init_apply(enc, x)
+    assert z.shape == (2, 4, 4, 64)
+
+
+def test_cnn_attention_at_low_res(rng):
+    enc = CNN(1, 32, 16, 4, capacity=4, down_sample=True, max_attn_res=8)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)), F32)
+    z, variables = _init_apply(enc, x)
+    assert z.shape == (2, 4, 4, 32)
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    assert any("AttentionBlock" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_cnn_equalized_lr(rng):
+    enc = CNN(1, 16, 8, 4, capacity=4, down_sample=True, equalized_lr=1.0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 1)), F32)
+    z, _ = _init_apply(enc, x)
+    assert z.shape == (2, 4, 4, 16)
+
+
+def test_autoencoder_conditional(rng):
+    """Class+time-conditioned AE (FiLM), double features for reparam."""
+    ae = AutoEncoder(
+        1, 16, 16, 2, capacity=4, num_classes=10, time_embed_dim=8,
+        double_encoded_features=True, down_up_sample=True, residual="add",
+    )
+    assert ae.latent_size == (2, 2, 32)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 1)), F32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    time = jnp.asarray(np.linspace(0, 1, 4), F32)
+    key = jax.random.PRNGKey(0)
+    variables = ae.init({"params": key, "dropout": key}, x, labels, time)
+    z = ae.apply(variables, x, labels, time,
+                 method=lambda m, *a: m.encode(*a))
+    assert z.shape == (4, 2, 2, 32)
+    y = ae.apply(variables, z[..., :16], labels, time,
+                 method=lambda m, *a: m.decode(*a))
+    assert y.shape == (4, 16, 16, 1)
+
+
+def test_vit_encoder(rng):
+    vit = ViT(image_size=32, dim=64, patch_size=8, depth=2, heads=4,
+              channels=3, n_embed_tokens=4, output_tokens="embed")
+    assert vit.out_size == (4, 64)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), F32)
+    out, _ = _init_apply(vit, x)
+    assert out.shape == (2, 4, 64)
+
+
+def test_vit_decoder_to_image(rng):
+    vit = ViT(image_size=32, dim=64, patch_size=8, depth=2, heads=4, channels=3,
+              n_embed_tokens=None, n_input_tokens=4, output_tokens="embed",
+              patch_to_embed=False, embed_to_patch=True)
+    assert vit.out_size == (32, 32, 3)
+    tokens = jnp.asarray(rng.standard_normal((2, 4, 64)), F32)
+    out, _ = _init_apply(vit, tokens)
+    assert out.shape == (2, 32, 32, 3)
+
+
+def test_vit_conditional_and_cross(rng):
+    vit = ViT(image_size=16, dim=32, patch_size=8, depth=2, preprocess_depth=1,
+              heads=4, channels=1, n_embed_tokens=2, output_tokens="embed",
+              num_classes=10, time_dependant=True)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)), F32)
+    labels = jnp.asarray([1, 2])
+    time = jnp.asarray([0.1, 0.9], F32)
+    out, _ = _init_apply(vit, x, labels=labels, time=time)
+    assert out.shape == (2, 2, 32)
+
+
+def test_autoregressive_causality(rng):
+    """Causal mask: logits at position i must not depend on tokens > i."""
+    ar = AutoRegressive(
+        image_size=16, dim=32, patch_size=8, depth=2, heads=4, channels=1,
+        n_embed_tokens=0, n_input_tokens=6, output_tokens="input",
+        patch_to_embed=False, causal_mask=True, dropout=0.0, vocab_size=11,
+    )
+    tokens = jnp.asarray(rng.integers(0, 11, size=(2, 6)))
+    key = jax.random.PRNGKey(0)
+    variables = ar.init({"params": key}, tokens)
+    logits = ar.apply(variables, tokens)
+    assert logits.shape == (2, 6, 11)
+
+    tampered = tokens.at[:, -1].set((tokens[:, -1] + 1) % 11)
+    logits2 = ar.apply(variables, tampered)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, :-1]), np.asarray(logits2[:, :-1]), atol=1e-10
+    )
+    assert not np.allclose(np.asarray(logits[:, -1]), np.asarray(logits2[:, -1]))
+
+
+def test_gradients_flow(rng):
+    """End-to-end grad through the AE (batchnorm mutable collection threaded)."""
+    ae = AutoEncoder(1, 8, 8, 2, capacity=4, down_up_sample=True, residual="add")
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 1)), F32)
+    key = jax.random.PRNGKey(0)
+    variables = ae.init({"params": key, "dropout": key}, x, train=True)
+
+    def loss_fn(params):
+        out, _ = ae.apply(
+            {**variables, "params": params}, x, train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"],
+        )
+        return jnp.mean((out - x) ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(norms))
+    assert max(norms) > 0
