@@ -1,0 +1,182 @@
+"""YAML config system + CLI
+(reference: VisionCLI/DadCLI + jsonargparse class_path/init_args configs,
+ot_vae_lightning/model/base.py:295-352, model/discrete_auto_diffuser.py:98-135,
+configs/*.yaml, run.sh).
+
+Capabilities kept from the reference:
+* ``class_path``/``init_args`` polymorphic instantiation
+* composable configs — repeated ``-c`` flags deep-merged left to right
+* cross-field shape links (the load-bearing part): data img size → networks,
+  encoder ``out_size`` → prior ``latent_size``, encoder token count → decoder
+  and AR-decoder ``n_input_tokens``, prior ``num_embeddings`` → AR
+  ``vocab_size``, data inference transforms → model
+* config snapshot saved as ``cli_config.yaml``
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import importlib
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+__all__ = ["load_configs", "instantiate", "build", "main"]
+
+
+def _deep_merge(base: Dict, extra: Dict) -> Dict:
+    out = dict(base)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_configs(paths: List[str]) -> Dict:
+    cfg: Dict = {}
+    for p in paths:
+        with open(p) as f:
+            cfg = _deep_merge(cfg, yaml.safe_load(f) or {})
+    return cfg
+
+
+def _import_path(path: str):
+    module, _, name = path.rpartition(".")
+    return getattr(importlib.import_module(module), name)
+
+
+def instantiate(node: Any) -> Any:
+    """Recursively build objects from {class_path, init_args} nodes
+    (jsonargparse semantics; reference configs/vae/defaults.yaml)."""
+    if isinstance(node, dict):
+        if "class_path" in node:
+            cls = _import_path(node["class_path"])
+            kwargs = {k: instantiate(v) for k, v in (node.get("init_args") or {}).items()}
+            return cls(**kwargs)
+        return {k: instantiate(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [instantiate(v) for v in node]
+    return node
+
+
+def _get(node: Dict, *path, default=None):
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return default
+        node = node[p]
+    return node
+
+
+def _setdefault(node: Dict, *path, value):
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node.setdefault(path[-1], value)
+
+
+def apply_links(cfg: Dict) -> Dict:
+    """Cross-field shape links (reference: model/base.py:296-346 VisionCLI +
+    discrete_auto_diffuser.py:99-135 DadCLI). Links only fill values the user
+    left unset."""
+    cfg = copy.deepcopy(cfg)
+    model_args = _get(cfg, "model", "init_args", default={})
+
+    # data img size → ViT image_size (DadCLI: data.IMG_SIZE link)
+    data_node = cfg.get("data")
+    img_size = None
+    if data_node:
+        data_probe = instantiate(copy.deepcopy(data_node))
+        img_size = getattr(data_probe, "img_size", None)
+
+    def is_vit(node):
+        return isinstance(node, dict) and "ViT" in str(node.get("class_path", "")) or (
+            isinstance(node, dict) and "AutoRegressive" in str(node.get("class_path", ""))
+        )
+
+    for key in ("encoder", "decoder", "autoregressive_decoder"):
+        node = model_args.get(key)
+        if is_vit(node) and img_size is not None:
+            _setdefault(node, "init_args", "image_size", value=img_size[0])
+
+    # encoder-dependent links need a constructed encoder (shape contracts are
+    # config-only properties — no parameters are created here)
+    enc_node = model_args.get("encoder")
+    if isinstance(enc_node, dict) and "class_path" in enc_node:
+        encoder = instantiate(copy.deepcopy(enc_node))
+        out_size = tuple(getattr(encoder, "out_size", ()) or ())
+        total_tokens = getattr(encoder, "total_num_tokens", None)
+
+        # encoder out_size → prior latent_size (DadCLI last link)
+        prior_node = model_args.get("prior")
+        if isinstance(prior_node, dict) and "class_path" in prior_node and out_size:
+            if "CodebookPrior" in prior_node["class_path"]:
+                _setdefault(prior_node, "init_args", "latent_size", value=list(out_size))
+
+        # encoder token count → decoder / AR-decoder n_input_tokens
+        for key in ("decoder", "autoregressive_decoder"):
+            node = model_args.get(key)
+            if is_vit(node) and total_tokens is not None:
+                _setdefault(node, "init_args", "n_input_tokens", value=total_tokens)
+
+        # prior num_embeddings → AR vocab_size
+        ar_node = model_args.get("autoregressive_decoder")
+        if isinstance(ar_node, dict) and isinstance(prior_node, dict):
+            n_comp = _get(prior_node, "init_args", "n_components")
+            if n_comp is not None:
+                _setdefault(ar_node, "init_args", "vocab_size", value=n_comp)
+
+    return cfg
+
+
+def build(cfg: Dict):
+    """Instantiate (model, datamodule, trainer) from a merged config."""
+    cfg = apply_links(cfg)
+    model = instantiate(cfg["model"])
+    datamodule = instantiate(cfg["data"])
+    trainer_cfg = cfg.get("trainer", {})
+    if isinstance(trainer_cfg, dict) and "class_path" not in trainer_cfg:
+        from ot_vae_tpu.trainer import Trainer
+
+        trainer_cfg = {k: instantiate(v) for k, v in trainer_cfg.items()}
+        trainer = Trainer(**trainer_cfg)
+    else:
+        trainer = instantiate(trainer_cfg)
+    return model, datamodule, trainer
+
+
+def main(argv: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser(
+        description="ot-vae-tpu CLI (reference entry: run.sh / VisionCLI)"
+    )
+    parser.add_argument("command", choices=["fit", "validate", "test", "predict"])
+    parser.add_argument("-c", "--config", action="append", required=True,
+                        help="YAML config; repeatable, merged left to right")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--save-config", default="cli_config.yaml")
+    args = parser.parse_args(argv)
+
+    cfg = load_configs(args.config)
+    if args.seed is not None:
+        cfg["seed"] = args.seed
+    if args.save_config:
+        with open(args.save_config, "w") as f:
+            yaml.safe_dump(cfg, f)
+
+    model, datamodule, trainer = build(cfg)
+    if cfg.get("seed") is not None:
+        trainer.seed = int(cfg["seed"])
+        datamodule.seed = int(cfg["seed"])
+
+    if args.command == "fit":
+        trainer.fit(model, datamodule)
+        results = trainer.test(model, datamodule)
+    else:
+        results = getattr(trainer, args.command)(model, datamodule)
+    print(results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

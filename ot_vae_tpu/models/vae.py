@@ -125,6 +125,15 @@ class VAENet(nn.Module):
         z = self.encode(x, step, key, train, labels, time, expand)
         return self.decode(z, train, labels, time, expand)
 
+    def warmup(self, x, step=0, key=None, train: bool = True,
+               labels=None, time=None, expand: int = 1):
+        """Initialization trace: touches every parameterized path (subclasses
+        extend to cover extra submodules, e.g. DAD's AR decoder)."""
+        z, ploss, artifacts = self.encode(
+            x, step, key, train, labels, time, expand, return_artifacts=True
+        )
+        return self.decode(z, train, labels, time, expand)
+
     def sample_latents(self, key, batch_size: int, labels=None, time=None):
         shape = (batch_size, *self.latent_size)
         if self.prior is None:
@@ -177,25 +186,36 @@ class VAE(VisionModel):
 
     def batch_preprocess(self, batch, key=None, train: bool = True):
         """(samples, labels) → {'samples', 'target', 'kwargs'}
-        (reference: model/vae.py:125-133)."""
+        (reference: model/vae.py:125-133). A curriculum transform set by the
+        ProgressiveTransform callback is applied here
+        (reference: data/progressive_callback.py:100-118)."""
         samples, labels = batch
+        transform = getattr(self, "progressive_transform", None)
+        if transform is not None and train:
+            samples = transform(samples, key)
         kwargs = {"labels": labels} if self.conditional else {}
         return {"samples": samples, "target": samples, "kwargs": kwargs}
 
     def init_variables(self, key, sample_batch):
-        pbatch = self.batch_preprocess(sample_batch)
+        pbatch = self.batch_preprocess(sample_batch, key)
         k1, k2, k3 = jax.random.split(key, 3)
         return self.net.init(
             {"params": k1, "dropout": k2},
             jnp.asarray(pbatch["samples"]), 0, k3, True,
             **pbatch["kwargs"], expand=self.expansion,
+            method="warmup",
         )
 
     def recon_loss(self, reconstructions, target, **kwargs):
         return jnp.mean((reconstructions - target) ** 2)
 
-    def prior_loss(self, prior_loss, prior_artifacts, **kwargs):
+    def prior_loss(self, prior_loss, prior_artifacts, aux=None, **kwargs):
         return jnp.mean(prior_loss)
+
+    def _loss_aux(self, net, pbatch, z, ploss, partifacts):
+        """Extra in-trace computation hook (runs inside the module apply) —
+        e.g. the DAD autoregressive logits (model/discrete_auto_diffuser.py)."""
+        return None
 
     def loss_fn(self, variables, pbatch, step, rngs):
         """nelbo (reference: model/vae.py:165-189). Returns
@@ -210,14 +230,15 @@ class VAE(VisionModel):
                 expand=self.expansion, return_artifacts=True, **kwargs,
             )
             recon = net.decode(z, train=True, expand=self.expansion, **kwargs)
-            return z, ploss, partifacts, recon
+            aux = self._loss_aux(net, pbatch, z, ploss, partifacts)
+            return z, ploss, partifacts, recon, aux
 
-        (z, ploss, partifacts, recon), mutated = nn.apply(
+        (z, ploss, partifacts, recon, aux), mutated = nn.apply(
             lambda net: run(net), self.net, mutable=MUTABLE
         )(variables, rngs={"dropout": rngs["dropout"]})
 
         recon_mean = mean_replicated_batch(recon, self.expansion)
-        p_loss = self.prior_loss(ploss, partifacts, **kwargs) / np.prod(samples.shape[1:])
+        p_loss = self.prior_loss(ploss, partifacts, aux=aux, **kwargs) / np.prod(samples.shape[1:])
         r_loss = self.recon_loss(recon_mean, target, **kwargs)
         loss = r_loss + p_loss
         logs = {

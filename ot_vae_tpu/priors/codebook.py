@@ -54,6 +54,7 @@ class CodebookPrior(PriorModule):
     inference_mode: str = "argmax"
     kmeans_decay: Optional[float] = 0.99
     laplace_eps: Optional[float] = 1e-5
+    update_with_autograd: bool = False
 
     @property
     def _dims(self):
@@ -122,10 +123,32 @@ class CodebookPrior(PriorModule):
 
     def setup(self):
         model = self.codebook_model
-        self._cb_state = self.variable(
-            "prior_stats", "codebook",
-            lambda: model.init(self.make_rng("params")),
-        )
+        if self.update_with_autograd:
+            # codebook learned by SGD (through gumbel/soft assignments) —
+            # the reference's `update_with_autograd` mode
+            # (ot/distribution_models/codebook_model.py:89)
+            self._cb_param = self.param(
+                "codebook", nn.initializers.normal(1.0),
+                (max(self.n_tokens, 1), self.n_components, self.dimensionality),
+            )
+        else:
+            self._cb_state = self.variable(
+                "prior_stats", "codebook",
+                lambda: model.init(self.make_rng("params")),
+            )
+
+    def _current_state(self):
+        if self.update_with_autograd:
+            from ot_vae_tpu.distributions.codebook import CodebookState
+
+            T = max(self.n_tokens, 1)
+            return CodebookState(
+                codebook=self._cb_param,
+                n_obs=jnp.ones((T, self.n_components), self._cb_param.dtype),
+                s1=jnp.zeros_like(self._cb_param),
+                initialized=jnp.asarray(True),
+            )
+        return self._cb_state.value
 
     def _compute_loss(self, x, encodings, probs):
         """Prior loss per batch element (reference: prior/codebook.py:77-87).
@@ -160,7 +183,7 @@ class CodebookPrior(PriorModule):
     ):
         model = self.codebook_model
         xf = self._flatten(x)  # [n_tokens, B, D]
-        state = self._cb_state.value
+        state = self._current_state()
 
         temp = None
         if self.temperature_annealing is not None:
@@ -171,7 +194,7 @@ class CodebookPrior(PriorModule):
             ) + 0.5
 
         k_update, k_assign = jax.random.split(key)
-        if train and not self.is_initializing():
+        if train and not self.update_with_autograd and not self.is_initializing():
             state = model.update(state, lax.stop_gradient(xf), k_update, comm=comm)
             self._cb_state.value = state
 
@@ -198,8 +221,8 @@ class CodebookPrior(PriorModule):
         (reference: prior/codebook.py:107-112)."""
         model = self.codebook_model
         batch_size = shape[0]
-        draws = model.sample(self._cb_state.value, key, batch_size)  # [T, B, D]
+        draws = model.sample(self._current_state(), key, batch_size)  # [T, B, D]
         return self._unflatten(draws)
 
     def codebook(self) -> jax.Array:
-        return self._cb_state.value.codebook
+        return self._current_state().codebook

@@ -42,7 +42,9 @@ class TrainState(struct.PyTreeNode):
             params=params,
             mutable=variables,
             opt_state=opt.init(params),
-            ema_params=jax.tree_util.tree_map(lambda x: x, params)
+            # real copies — aliasing the param buffers breaks donation
+            # (double-donate) in the jitted train step
+            ema_params=jax.tree_util.tree_map(jnp.copy, params)
             if ema_decay is not None
             else None,
         )

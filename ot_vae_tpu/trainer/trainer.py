@@ -121,8 +121,7 @@ class Trainer:
 
     def _build_train_step(self, model):
         opt = self._opt
-        expansion_salt = getattr(model, "_transform_version", 0)
-        del expansion_salt
+        self._built_transform_version = getattr(model, "_transform_version", 0)
 
         def train_step(state: TrainState, batch, key):
             k_pre, k_prior, k_drop = jax.random.split(key, 3)
@@ -228,6 +227,12 @@ class Trainer:
         return self
 
     def _run_train_epoch(self, model, datamodule, epoch):
+        # progressive transforms change static params → rebuild the jitted step
+        # (reference rebind semantics: data/progressive_callback.py:82-97)
+        if getattr(model, "_transform_version", 0) != getattr(
+            self, "_built_transform_version", 0
+        ):
+            self._train_step = self._build_train_step(model)
         t0 = time.time()
         n = 0
         for batch_idx, batch in enumerate(datamodule.train_batches(epoch)):
@@ -255,6 +260,7 @@ class Trainer:
     def _run_eval_loop(self, model, batches, metrics, mode: str, use_ema: bool):
         """Shared val/test loop (reference: model/base.py:131-142, 205-220)."""
         model.variables = self.state.variables  # callbacks may call model API
+        prev_inference = model.inference
         model.inference = True
         metric_states = metrics.init() if metrics is not None else None
         step = self._eval_step(model, metrics, use_ema, with_generated=True)
@@ -285,7 +291,7 @@ class Trainer:
         self._hook(
             "on_validation_epoch_end" if mode == "val" else "on_test_epoch_end", model
         )
-        model.inference = False
+        model.inference = prev_inference
         return results
 
     def _run_validation(self, model, datamodule):
@@ -317,6 +323,7 @@ class Trainer:
         if self.state is None:
             self._adopt_model_state(model)
         model.variables = self.state.variables
+        prev_inference = model.inference
         model.inference = True
         outs = []
         for batch in datamodule.predict_batches():
@@ -325,7 +332,7 @@ class Trainer:
             )
             # model.__call__ applies the inference pre/post transforms itself
             outs.append(model(pbatch["samples"], **pbatch["kwargs"]))
-        model.inference = False
+        model.inference = prev_inference
         return outs
 
     def _adopt_model_state(self, model):

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ot_vae_tpu.distributions.codebook import CodebookModel, CodebookState
-from ot_vae_tpu.ops.w2 import sinkhorn_log
+from ot_vae_tpu.ops.sinkhorn_pallas import sinkhorn_log_auto as sinkhorn_log
 from ot_vae_tpu.parallel.comm import NO_COMM, Comm
 from ot_vae_tpu.transport.base import TransportOperator
 

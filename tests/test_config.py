@@ -1,0 +1,63 @@
+"""Config/CLI tests: class_path instantiation, config composition, and the
+load-bearing cross-field shape links
+(parity: VisionCLI/DadCLI links, reference model/base.py:296-346,
+model/discrete_auto_diffuser.py:99-135)."""
+import yaml
+
+from ot_vae_tpu.config import apply_links, build, instantiate, load_configs
+
+
+def test_instantiate_class_path():
+    node = {
+        "class_path": "ot_vae_tpu.priors.GaussianPrior",
+        "init_args": {"loss_coeff": 0.5},
+    }
+    prior = instantiate(node)
+    assert type(prior).__name__ == "GaussianPrior"
+    assert prior.loss_coeff == 0.5
+
+
+def test_config_composition(tmp_path):
+    a = tmp_path / "a.yaml"
+    b = tmp_path / "b.yaml"
+    a.write_text(yaml.safe_dump({"trainer": {"max_epochs": 5, "seed": 1}}))
+    b.write_text(yaml.safe_dump({"trainer": {"max_epochs": 9}}))
+    cfg = load_configs([str(a), str(b)])
+    assert cfg["trainer"] == {"max_epochs": 9, "seed": 1}
+
+
+def test_build_vae_defaults():
+    cfg = load_configs(["configs/vae/defaults.yaml"])
+    cfg["data"]["init_args"]["synthetic_train"] = 64
+    cfg["data"]["init_args"]["synthetic_test"] = 32
+    model, dm, trainer = build(cfg)
+    assert tuple(model.latent_size) == (1, 1, 128)
+    assert dm.train_batch_size == 250
+    assert trainer.max_epochs == 10
+
+
+def test_dad_shape_links():
+    """encoder token count → decoder/AR n_input_tokens; prior n_components →
+    AR vocab_size; encoder out_size → prior latent_size."""
+    cfg = load_configs(["configs/dad/defaults.yaml"])
+    linked = apply_links(cfg)
+    m = linked["model"]["init_args"]
+    assert m["decoder"]["init_args"]["n_input_tokens"] == 16
+    assert m["autoregressive_decoder"]["init_args"]["n_input_tokens"] == 16
+    assert m["autoregressive_decoder"]["init_args"]["vocab_size"] == 128
+    assert tuple(m["prior"]["init_args"]["latent_size"]) == (16, 64)
+
+    cfg["data"]["init_args"]["synthetic_train"] = 64
+    cfg["data"]["init_args"]["synthetic_test"] = 32
+    model, dm, trainer = build(cfg)
+    assert model.n_tokens == 16
+    assert model.num_embeddings == 128
+
+
+def test_vit_config_builds():
+    cfg = load_configs(["configs/vae/vit.yaml"])
+    cfg["data"]["init_args"]["synthetic_train"] = 64
+    cfg["data"]["init_args"]["synthetic_test"] = 32
+    model, dm, trainer = build(cfg)
+    assert tuple(model.latent_size) == (1, 128)
+    assert model.conditional
