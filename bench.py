@@ -10,9 +10,12 @@ import time
 import numpy as np
 
 
-def _jax_throughput(batch_size=250, iters=30, warmup=5):
+def _jax_throughput(batch_size=250, outer=10, inner=20, warmup=2):
+    """Encode+decode throughput with a device-resident inner loop — measures
+    the chip, not host dispatch latency."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from ot_vae_tpu.models import VAE
     from ot_vae_tpu.networks import CNN
@@ -27,19 +30,22 @@ def _jax_throughput(batch_size=250, iters=30, warmup=5):
     variables = model.init_variables(jax.random.PRNGKey(0), batch)
 
     @jax.jit
-    def fwd(variables, x, key):
-        return model.net.apply(variables, x, 0, key, False)
+    def fwd_n(variables, x, key):
+        def body(i, acc):
+            out = model.net.apply(variables, x, 0, jax.random.fold_in(key, i), False)
+            return acc + out[0, 0, 0, 0]  # keep a data dependency per step
+        return lax.fori_loop(0, inner, body, jnp.zeros((), x.dtype))
 
     key = jax.random.PRNGKey(1)
     x = jax.random.normal(key, (batch_size, 32, 32, 1), jnp.float32)
     for _ in range(warmup):
-        fwd(variables, x, key).block_until_ready()
+        fwd_n(variables, x, key).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x, key)
+    for i in range(outer):
+        out = fwd_n(variables, x, jax.random.fold_in(key, i))
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    return batch_size * inner * outer / dt
 
 
 def _torch_cpu_throughput(batch_size=250, iters=3, warmup=1):

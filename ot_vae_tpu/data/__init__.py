@@ -1,7 +1,8 @@
 """Data layer: datamodules, transforms, synthetic fallbacks
 (reference: ot_vae_lightning/data/)."""
 from ot_vae_tpu.data.base import ArrayDataset, BaseDatamodule, dataset_split
-from ot_vae_tpu.data.datasets import CIFAR10, FFHQ64, FFHQ128, ImageFolderData, MNIST, MNIST32
+from ot_vae_tpu.data.progressive import PgCompose, PgTransform, ProgressiveTransform
+from ot_vae_tpu.data.datasets import (CIFAR10, FFHQ64, FFHQ128, ImageFolderData, ImageNet224, ImageNet256, MNIST, MNIST32)
 from ot_vae_tpu.data.synthetic import synthetic_digits, synthetic_textures
 from ot_vae_tpu.data.transforms import (
     CenterCrop,
@@ -26,8 +27,13 @@ __all__ = [
     "MNIST32",
     "CIFAR10",
     "ImageFolderData",
+    "ImageNet224",
+    "ImageNet256",
     "FFHQ64",
     "FFHQ128",
+    "PgTransform",
+    "PgCompose",
+    "ProgressiveTransform",
     "synthetic_digits",
     "synthetic_textures",
     "Transform",

@@ -31,7 +31,7 @@ from ot_vae_tpu.data.transforms import (
     UnNormalize,
 )
 
-__all__ = ["MNIST", "MNIST32", "CIFAR10", "ImageFolderData", "FFHQ64", "FFHQ128"]
+__all__ = ["MNIST", "MNIST32", "CIFAR10", "ImageFolderData", "ImageNet224", "ImageNet256", "FFHQ64", "FFHQ128"]
 
 _CACHE = Path(os.path.expanduser("~/.cache"))
 
@@ -211,6 +211,27 @@ class ImageFolderData(BaseDatamodule):
         self.val_dataset = ArrayDataset(vi, vl, self._transform)
         self.test_dataset = ArrayDataset(ti, tl, self._transform)
         self.predict_dataset = ArrayDataset(*test, Identity())
+
+
+@dataclasses.dataclass
+class ImageNet224(ImageFolderData):
+    """(reference: data/__init__.py:93-110 — center-crop/resize 224 with the
+    ImageNet normalization stats; expects an image folder on disk)"""
+
+    size: int = 224
+    MEAN: Tuple[float, ...] = (0.485, 0.456, 0.406)
+    STD: Tuple[float, ...] = (0.229, 0.224, 0.225)
+    root: Tuple[str, str] = ("~/data/ImageNet/train", "~/data/ImageNet/val")
+
+
+@dataclasses.dataclass
+class ImageNet256(ImageFolderData):
+    """(reference: data/__init__.py:73-90)"""
+
+    size: int = 256
+    MEAN: Tuple[float, ...] = (0.485, 0.456, 0.406)
+    STD: Tuple[float, ...] = (0.229, 0.224, 0.225)
+    root: Tuple[str, str] = ("~/data/ImageNet/train", "~/data/ImageNet/val")
 
 
 @dataclasses.dataclass

@@ -34,11 +34,25 @@ __all__ = ["GaussianState", "GaussianParams", "GaussianModel"]
 
 
 class GaussianState(struct.PyTreeNode):
-    """Streaming sufficient statistics (n, Σx, Σxxᵀ)."""
+    """Streaming sufficient statistics (n, Σx, Σxxᵀ), with optional Kahan
+    compensation buffers (c1, c2) for float32 accumulation over long streams
+    (SURVEY §7 hard part: the reference accumulates in float64,
+    gaussian_model.py:60-62 — TPUs have no fast f64, compensated f32 summation
+    recovers the precision)."""
 
     n: jax.Array  # [*L]
     s1: jax.Array  # [*L, D]
     s2: jax.Array  # [*L, D, D]  ([*L, D] when diag)
+    c1: Optional[jax.Array] = None  # Kahan compensation for s1
+    c2: Optional[jax.Array] = None  # Kahan compensation for s2
+
+
+def _kahan_add(total, comp, add):
+    """One compensated-summation step; carries the rounding error forward."""
+    y = add - comp
+    t = total + y
+    comp_new = (t - total) - y
+    return t, comp_new
 
 
 class GaussianParams(NamedTuple):
@@ -63,6 +77,7 @@ class GaussianModel:
     diag: bool = False
     update_decay: Optional[float] = None
     reduce_on_update: bool = True
+    compensated: bool = False  # Kahan-compensated f32 accumulation
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------- streaming
@@ -70,10 +85,14 @@ class GaussianModel:
     def init(self) -> GaussianState:
         L, D = self.leading_shape, self.dim
         cov_shape = (*L, D) if self.diag else (*L, D, D)
+        z1 = jnp.zeros((*L, D), self.dtype)
+        z2 = jnp.zeros(cov_shape, self.dtype)
         return GaussianState(
             n=jnp.zeros(L, self.dtype),
-            s1=jnp.zeros((*L, D), self.dtype),
-            s2=jnp.zeros(cov_shape, self.dtype),
+            s1=z1,
+            s2=z2,
+            c1=jnp.zeros_like(z1) if self.compensated else None,
+            c2=jnp.zeros_like(z2) if self.compensated else None,
         )
 
     def _batch_stats(self, samples: jax.Array, sample_weights=None):
@@ -105,7 +124,16 @@ class GaussianModel:
         if self.reduce_on_update:
             n, s1, s2 = comm.psum(n), comm.psum(s1), comm.psum(s2)
         d = self.update_decay
-        return GaussianState(n=ema(state.n, n, d), s1=ema(state.s1, s1, d), s2=ema(state.s2, s2, d))
+        if self.compensated and d is None:
+            # Kahan summation: y = add - c; t = s + y; c = (t - s) - y
+            new_s1, new_c1 = _kahan_add(state.s1, state.c1, s1)
+            new_s2, new_c2 = _kahan_add(state.s2, state.c2, s2)
+            return GaussianState(
+                n=state.n + n, s1=new_s1, s2=new_s2, c1=new_c1, c2=new_c2
+            )
+        return state.replace(
+            n=ema(state.n, n, d), s1=ema(state.s1, s1, d), s2=ema(state.s2, s2, d)
+        )
 
     def fit(
         self,
@@ -153,7 +181,7 @@ class GaussianModel:
                 jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
             )[..., None]
             maha = jnp.sum(y**2, axis=-2)  # [*L, B]
-        return -0.5 * (maha + logdet + D * np.log(2.0 * np.pi))
+        return -0.5 * (maha + logdet + D * float(np.log(2.0 * np.pi)))
 
     def sample(
         self, params: GaussianParams, key: jax.Array, batch_size: int

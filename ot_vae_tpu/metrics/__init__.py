@@ -43,6 +43,12 @@ class Metric:
     def compute(self, state):
         raise NotImplementedError
 
+    def prepare(self, state, model=None, trainer=None):
+        """One-time preparation before an eval loop — e.g. computing
+        reference-set statistics once (reference ``prepare_metric`` hook,
+        model/base.py:197-203). Default: no-op."""
+        return state
+
 
 class _PSNRState(struct.PyTreeNode):
     sse: jax.Array
@@ -121,8 +127,8 @@ def _default_features(feature_size: int) -> Callable:
             pooled.append(x)
         feats = jnp.concatenate([p.reshape(b, -1) for p in pooled], axis=-1)
         key = jax.random.PRNGKey(1234)
-        proj = jax.random.normal(key, (feats.shape[-1], feature_size)) / np.sqrt(
-            feats.shape[-1]
+        proj = jax.random.normal(key, (feats.shape[-1], feature_size)) / float(
+            np.sqrt(feats.shape[-1])
         )
         return jnp.tanh(feats @ proj)
 
@@ -206,6 +212,12 @@ class MetricCollection:
     def reduce(self, states, comm: Comm = NO_COMM):
         return {
             name: self.metrics[name].reduce(states[name], comm)
+            for name in self.metrics
+        }
+
+    def prepare(self, states, model=None, trainer=None):
+        return {
+            name: self.metrics[name].prepare(states[name], model, trainer)
             for name in self.metrics
         }
 

@@ -238,7 +238,7 @@ class VAE(VisionModel):
         )(variables, rngs={"dropout": rngs["dropout"]})
 
         recon_mean = mean_replicated_batch(recon, self.expansion)
-        p_loss = self.prior_loss(ploss, partifacts, aux=aux, **kwargs) / np.prod(samples.shape[1:])
+        p_loss = self.prior_loss(ploss, partifacts, aux=aux, **kwargs) / int(np.prod(samples.shape[1:]))
         r_loss = self.recon_loss(recon_mean, target, **kwargs)
         loss = r_loss + p_loss
         logs = {

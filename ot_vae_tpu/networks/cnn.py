@@ -282,6 +282,7 @@ class CNN(nn.Module):
     kernel_size: int = 3
     groups: int = 1
     use_bias: bool = True
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -295,9 +296,12 @@ class CNN(nn.Module):
             self.out_resolution, self.intermediate_features, self.capacity,
             self.max_attn_res, self.down_sample, self.up_sample,
         )
+        # per-block rematerialization trades FLOPs for HBM (jax.checkpoint);
+        # turn on for high-resolution stacks that don't fit activations
+        block_cls = nn.remat(ConvBlock, static_argnums=(3,)) if self.remat else ConvBlock
         for oc, r in zip(features[1:], attn_res):
             heads = div_sqrt(oc) if r <= self.max_attn_res else 0
-            x = ConvBlock(
+            x = block_cls(
                 oc, heads, self.n_layers, self.down_sample, self.up_sample,
                 self.additional_embed, self.normalization, self.activation,
                 self.residual, self.equalized_lr, self.dropout, self.kernel_size,

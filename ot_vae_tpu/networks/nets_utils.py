@@ -193,7 +193,7 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     ch = width // (3 * n_heads)
     q, k, v = jnp.split(qkv.reshape(b, t, 3, n_heads, ch), 3, axis=2)
     q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # [B, T, H, C]
-    scale = 1.0 / np.sqrt(np.sqrt(ch))
+    scale = float(1.0 / np.sqrt(np.sqrt(ch)))
     logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)
     out = jnp.einsum("bhts,bshc->bthc", weights, v)

@@ -161,7 +161,7 @@ class CodebookPrior(PriorModule):
             ).sum(0)
         elif self.loss.lower() in ("kl", "first_kl"):
             entropy = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)  # [T, B]
-            kl = np.log(self.num_embeddings) - entropy
+            kl = float(np.log(self.num_embeddings)) - entropy
             prior_loss = kl[0] if self.loss.lower() == "first_kl" else kl.sum(0)
         else:
             raise NotImplementedError(f"loss={self.loss}")

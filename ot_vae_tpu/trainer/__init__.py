@@ -14,12 +14,24 @@ from ot_vae_tpu.trainer.checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
+from ot_vae_tpu.trainer.loggers import (
+    CSVLogger,
+    MultiLogger,
+    PrintLogger,
+    TensorBoardLogger,
+    WandbLogger,
+)
 from ot_vae_tpu.trainer.state import TrainState
 from ot_vae_tpu.trainer.trainer import Trainer
 
 __all__ = [
     "Trainer",
     "TrainState",
+    "PrintLogger",
+    "CSVLogger",
+    "WandbLogger",
+    "TensorBoardLogger",
+    "MultiLogger",
     "Callback",
     "EarlyStopping",
     "ModelCheckpointCallback",

@@ -31,12 +31,7 @@ from ot_vae_tpu.trainer.state import TrainState
 __all__ = ["Trainer"]
 
 
-class _PrintLogger:
-    def log_metrics(self, metrics: Dict[str, float], step: int):
-        if jax.process_index() != 0:
-            return
-        msg = "  ".join(f"{k}={float(v):.4g}" for k, v in metrics.items())
-        print(f"[step {step}] {msg}", flush=True)
+from ot_vae_tpu.trainer.loggers import PrintLogger as _PrintLogger  # noqa: E402
 
 
 def _set_lr(opt_state, lr: float):
@@ -69,6 +64,7 @@ class Trainer:
         min_lr: float = 1e-6,
         limit_batches: Optional[int] = None,
         enable_progress_bar: bool = False,
+        profile_dir: Optional[str] = None,
     ):
         self.max_epochs = max_epochs
         self.callbacks = list(callbacks or [])
@@ -82,6 +78,7 @@ class Trainer:
         self.lr_threshold = lr_threshold
         self.min_lr = min_lr
         self.limit_batches = limit_batches
+        self.profile_dir = profile_dir
 
         self.state: Optional[TrainState] = None
         self.current_epoch = 0
@@ -233,6 +230,12 @@ class Trainer:
             self, "_built_transform_version", 0
         ):
             self._train_step = self._build_train_step(model)
+        # native profiling (SURVEY §5: jax.profiler replaces the reference's
+        # disabled torch profiler hooks, demo.py:22-23) — profile epoch 1 only
+        # (epoch 0 is dominated by compilation)
+        profiling = self.profile_dir is not None and epoch == 1
+        if profiling:
+            jax.profiler.start_trace(self.profile_dir)
         t0 = time.time()
         n = 0
         for batch_idx, batch in enumerate(datamodule.train_batches(epoch)):
@@ -240,7 +243,8 @@ class Trainer:
                 break
             dev_batch = self._put(batch)
             key = self._key(1, epoch, batch_idx)
-            self.state, logs, outputs = self._train_step(self.state, dev_batch, key)
+            with jax.profiler.StepTraceAnnotation("train_step", step_num=self.global_step):
+                self.state, logs, outputs = self._train_step(self.state, dev_batch, key)
             self.global_step = int(self.state.step)
             n += 1
             if batch_idx % self.log_every_n_steps == 0:
@@ -248,6 +252,11 @@ class Trainer:
                     {k: float(v) for k, v in logs.items()}, self.global_step
                 )
             self._hook("on_train_batch_end", model, outputs, dev_batch, batch_idx)
+        if profiling:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), self.state.params
+            )
+            jax.profiler.stop_trace()
         dt = time.time() - t0
         if n:
             self.print(
@@ -263,6 +272,9 @@ class Trainer:
         prev_inference = model.inference
         model.inference = True
         metric_states = metrics.init() if metrics is not None else None
+        if metric_states is not None:
+            # one-time metric preparation (reference: model/base.py:197-203)
+            metric_states = metrics.prepare(metric_states, model, self)
         step = self._eval_step(model, metrics, use_ema, with_generated=True)
         self._hook(f"on_{mode}_epoch_start" if mode == "test" else
                    "on_validation_epoch_start", model)

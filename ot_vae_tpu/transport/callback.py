@@ -334,13 +334,35 @@ class ConditionalLatentTransport(Callback):
             for i in range(num_classes)
         ]
 
-    def __getattr__(self, name):
-        if name.startswith("on_"):
-            def fanout(*args, **kw):
-                for t in self.transports:
-                    getattr(t, name)(*args, **kw)
-            return fanout
-        raise AttributeError(name)
+    # explicit fan-out: the Callback base class defines no-op hooks, so a
+    # __getattr__-based fan-out would never fire
+    def on_fit_start(self, trainer, model):
+        for t in self.transports:
+            t.on_fit_start(trainer, model)
+
+    def on_train_batch_end(self, trainer, model, outputs, batch, batch_idx):
+        for t in self.transports:
+            t.on_train_batch_end(trainer, model, outputs, batch, batch_idx)
+
+    def on_validation_epoch_start(self, trainer, model):
+        for t in self.transports:
+            t.on_validation_epoch_start(trainer, model)
+
+    def on_validation_batch_end(self, trainer, model, outputs, batch, batch_idx):
+        for t in self.transports:
+            t.on_validation_batch_end(trainer, model, outputs, batch, batch_idx)
+
+    def on_test_epoch_start(self, trainer, model):
+        for t in self.transports:
+            t.on_test_epoch_start(trainer, model)
+
+    def on_test_batch_end(self, trainer, model, outputs, batch, batch_idx):
+        for t in self.transports:
+            t.on_test_batch_end(trainer, model, outputs, batch, batch_idx)
+
+    def on_test_epoch_end(self, trainer, model):
+        for t in self.transports:
+            t.on_test_epoch_end(trainer, model)
 
     def on_validation_epoch_end(self, trainer, model):
         costs = []

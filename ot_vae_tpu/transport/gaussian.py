@@ -18,6 +18,17 @@ from ot_vae_tpu.transport.base import TransportOperator
 __all__ = ["GaussianTransport", "GaussianTransportState"]
 
 
+def _shrink(cov: jax.Array, shrinkage: float, diag: bool) -> jax.Array:
+    """(1-λ)Σ + λ·(tr Σ / D)·I — Ledoit-Wolf-style target shrinkage."""
+    if diag:
+        mean_var = jnp.mean(cov, axis=-1, keepdims=True)
+        return (1.0 - shrinkage) * cov + shrinkage * mean_var
+    d = cov.shape[-1]
+    mean_var = jnp.trace(cov, axis1=-2, axis2=-1)[..., None, None] / d
+    eye = jnp.eye(d, dtype=cov.dtype)
+    return (1.0 - shrinkage) * cov + shrinkage * mean_var * eye
+
+
 class GaussianTransportState(struct.PyTreeNode):
     source: GaussianState
     target: GaussianState
@@ -39,6 +50,7 @@ class GaussianTransport(TransportOperator):
     pg_star: float = 0.0
     make_pd: bool = True
     update_decay: Optional[float] = None
+    shrinkage: float = 1e-3
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -79,6 +91,14 @@ class GaussianTransport(TransportOperator):
         m = self.source_model
         ps: GaussianParams = m.fit(state.source, source_samples, comm)
         pt: GaussianParams = m.fit(state.target, target_samples, comm)
+        if self.shrinkage > 0:
+            # trace-scaled diagonal loading: with fewer samples than
+            # dimensions the empirical covariance is rank-deficient and the
+            # Monge map amplifies its null space catastrophically (a latent
+            # failure mode the reference shares — its STABILITY_CONST=1e-8
+            # load gives ~1e4 amplification on dead directions)
+            ps = GaussianParams(ps.mean, _shrink(ps.cov, self.shrinkage, self.diag))
+            pt = GaussianParams(pt.mean, _shrink(pt.cov, self.shrinkage, self.diag))
         if self.diag:
             cov_s = jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(ps.cov)
             cov_t = jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(pt.cov)

@@ -27,8 +27,12 @@ _MAX_EPOCH = 4
 
 
 def test_vae_latent_transport():
+    # val set sized so each side of the unpaired stream sees ~900 samples —
+    # the whole-tensor operator fits a 1024-dim covariance (shrinkage-
+    # regularized in GaussianTransport)
     dm = MNIST32(train_batch_size=50, val_batch_size=50, test_batch_size=50,
-                 seed=42, synthetic_train=2500, synthetic_test=600)
+                 seed=42, synthetic_train=2500, synthetic_test=2200,
+                 test_val_split=0.9)
 
     latent_ch, latent_res = 64, 4  # latents [4, 4, 64] NHWC
     autoencoder = AutoEncoder(
