@@ -33,7 +33,7 @@ def _jax_throughput(batch_size=250, outer=10, inner=20, warmup=2):
     def fwd_n(variables, x, key):
         def body(i, acc):
             out = model.net.apply(variables, x, 0, jax.random.fold_in(key, i), False)
-            return acc + out[0, 0, 0, 0]  # keep a data dependency per step
+            return acc + jnp.mean(out)  # full-output dependency per step
         return lax.fori_loop(0, inner, body, jnp.zeros((), x.dtype))
 
     key = jax.random.PRNGKey(1)

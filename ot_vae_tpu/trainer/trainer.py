@@ -114,6 +114,21 @@ class Trainer:
             batch = shard_batch(self.mesh, batch)
         return batch
 
+    def _prefetch(self, iterator, size: int = 2):
+        """Device-put batches ahead of consumption so host input overlaps
+        device compute (replaces the reference's DataLoader worker pool,
+        data/base.py:88-99 — on TPU the win is keeping transfers in flight,
+        not parallel decode)."""
+        import collections
+
+        queue = collections.deque()
+        for batch in iterator:
+            queue.append(self._put(batch))
+            if len(queue) >= size:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
     # ------------------------------------------------------------ step builders
 
     def _build_train_step(self, model):
@@ -238,10 +253,11 @@ class Trainer:
             jax.profiler.start_trace(self.profile_dir)
         t0 = time.time()
         n = 0
-        for batch_idx, batch in enumerate(datamodule.train_batches(epoch)):
+        for batch_idx, dev_batch in enumerate(
+            self._prefetch(datamodule.train_batches(epoch))
+        ):
             if self.limit_batches is not None and batch_idx >= self.limit_batches:
                 break
-            dev_batch = self._put(batch)
             key = self._key(1, epoch, batch_idx)
             with jax.profiler.StepTraceAnnotation("train_step", step_num=self.global_step):
                 self.state, logs, outputs = self._train_step(self.state, dev_batch, key)

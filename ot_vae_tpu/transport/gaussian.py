@@ -139,4 +139,9 @@ class GaussianTransport(TransportOperator):
     def sample(self, state, key: jax.Array, batch_size: int, source: bool = True):
         m = self.source_model
         st = state.source if source else state.target
-        return m.sample(m.fit(st), key, batch_size)
+        params = m.fit(st)
+        if self.shrinkage > 0:
+            params = GaussianParams(
+                params.mean, _shrink(params.cov, self.shrinkage, self.diag)
+            )
+        return m.sample(params, key, batch_size)
