@@ -8,6 +8,11 @@ from ot_vae_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from ot_vae_tpu.parallel.partitioning import (
+    MODEL_AXIS,
+    partition_params,
+    partition_spec_for,
+)
 
 __all__ = [
     "Comm",
@@ -15,8 +20,11 @@ __all__ = [
     "AxisComm",
     "NO_COMM",
     "DATA_AXIS",
+    "MODEL_AXIS",
     "make_mesh",
     "data_sharding",
     "replicated",
     "shard_batch",
+    "partition_params",
+    "partition_spec_for",
 ]

@@ -1,0 +1,119 @@
+"""Serving: pre-compiled inference engine over a trained checkpoint.
+
+The reference's deployment story is ``VAE.load_from_checkpoint`` +
+``model.inference = True`` (reference: tests/test_mnist_cnn_vae.py:199-251).
+This module packages that as a production path: load once, AOT-compile
+``encode``/``decode``/``sample``/``reconstruct`` for fixed batch sizes, and
+serve with zero Python-side tracing at request time. Raw inputs are
+normalized/denormalized with the transforms stored in the checkpoint sidecar.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["InferenceEngine"]
+
+
+class InferenceEngine:
+    """Pre-compiled inference over a model restored from a checkpoint.
+
+    :param model: a VisionModel (e.g. VAE) — architecture must match the
+                  checkpoint
+    :param checkpoint_path: directory written by ``save_checkpoint``
+    :param batch_sizes: batch sizes to pre-compile (requests are padded up to
+                        the nearest compiled size — static shapes for XLA)
+    :param use_ema: serve the EMA shadow weights when present
+    """
+
+    def __init__(
+        self,
+        model,
+        checkpoint_path: Optional[str] = None,
+        batch_sizes: Sequence[int] = (1, 8, 64),
+        use_ema: bool = False,
+        donate: bool = False,
+    ):
+        from ot_vae_tpu.trainer.checkpoint import load_checkpoint
+
+        self.model = model
+        if checkpoint_path is not None:
+            tree, _ = load_checkpoint(checkpoint_path, model)
+            if use_ema and tree.get("ema_params") is not None:
+                model.variables = {**model.variables, "params": tree["ema_params"]}
+        if model.variables is None:
+            raise ValueError("model has no variables — pass a checkpoint_path")
+        model.inference = True
+        self.batch_sizes = tuple(sorted(batch_sizes))
+        self._variables = jax.device_put(model.variables)
+        self._fns: Dict[Tuple[str, int], callable] = {}
+
+    # ------------------------------------------------------------ compile
+
+    def _get(self, kind: str, batch: int, sample_shape=None):
+        key = (kind, batch)
+        if key in self._fns:
+            return self._fns[key]
+        model = self.model
+
+        if kind == "encode":
+            fn = jax.jit(lambda v, x, k: model.encode_fn(v, x, k))
+        elif kind == "decode":
+            fn = jax.jit(lambda v, z, k: model.decode_fn(v, z))
+        elif kind == "sample":
+            fn = jax.jit(lambda v, _, k: model.sample_fn(v, k, batch, {}))
+        elif kind == "reconstruct":
+            fn = jax.jit(
+                lambda v, x, k: model.net.apply(v, x, 0, k, False)
+            )
+        else:
+            raise ValueError(kind)
+        self._fns[key] = fn
+        return fn
+
+    def _pad_to_bucket(self, x: np.ndarray) -> Tuple[jax.Array, int]:
+        n = x.shape[0]
+        bucket = next((b for b in self.batch_sizes if b >= n), None)
+        if bucket is None:
+            bucket = int(np.ceil(n / self.batch_sizes[-1]) * self.batch_sizes[-1])
+        if n < bucket:
+            pad = np.zeros((bucket - n, *x.shape[1:]), x.dtype)
+            x = np.concatenate([x, pad])
+        return jnp.asarray(x), n
+
+    # ------------------------------------------------------------ serving API
+
+    def encode(self, images, key=None):
+        x = self.model.inference_preprocess(np.asarray(images, np.float32))
+        xb, n = self._pad_to_bucket(np.asarray(x))
+        key = key if key is not None else jax.random.PRNGKey(0)
+        z = self._get("encode", xb.shape[0])(self._variables, xb, key)
+        return np.asarray(z)[:n]
+
+    def decode(self, latents, key=None):
+        zb, n = self._pad_to_bucket(np.asarray(latents, np.float32))
+        out = self._get("decode", zb.shape[0])(self._variables, zb, None)
+        return np.asarray(self.model.inference_postprocess(out))[:n]
+
+    def sample(self, batch_size: int, key=None):
+        key = key if key is not None else jax.random.PRNGKey(
+            np.random.randint(2**31)
+        )
+        out = self._get("sample", batch_size)(self._variables, None, key)
+        return np.asarray(self.model.inference_postprocess(out))
+
+    def reconstruct(self, images, key=None):
+        x = self.model.inference_preprocess(np.asarray(images, np.float32))
+        xb, n = self._pad_to_bucket(np.asarray(x))
+        key = key if key is not None else jax.random.PRNGKey(0)
+        out = self._get("reconstruct", xb.shape[0])(self._variables, xb, key)
+        return np.asarray(self.model.inference_postprocess(out))[:n]
+
+    def warmup(self):
+        """Compile the sample path for every bucket ahead of serving."""
+        for b in self.batch_sizes:
+            self.sample(b)
+        return self

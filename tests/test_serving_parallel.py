@@ -1,0 +1,60 @@
+"""Serving engine + model-parallel partitioning tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ot_vae_tpu.metrics import PSNR, MetricCollection
+from ot_vae_tpu.models import VAE
+from ot_vae_tpu.networks import CNN
+from ot_vae_tpu.parallel import make_mesh, partition_params
+from ot_vae_tpu.priors import GaussianPrior
+from ot_vae_tpu.serving import InferenceEngine
+
+
+def _tiny_vae():
+    m = VAE(metrics=MetricCollection({"psnr": PSNR()}),
+            encoder=CNN(1, 16, 16, 4, capacity=4, down_sample=True),
+            decoder=CNN(8, 1, 4, 16, capacity=4, up_sample=True),
+            prior=GaussianPrior(loss_coeff=0.1))
+    batch = (jnp.zeros((8, 16, 16, 1), jnp.float32), jnp.zeros((8,), jnp.int32))
+    m.variables = m.init_variables(jax.random.PRNGKey(0), batch)
+    return m
+
+
+def test_inference_engine_buckets(rng):
+    from ot_vae_tpu.data.transforms import Identity
+
+    model = _tiny_vae()
+    model.inference_preprocess = Identity()
+    model.inference_postprocess = Identity()
+    eng = InferenceEngine(model, batch_sizes=(4, 16))
+
+    x = rng.random((5, 16, 16, 1)).astype(np.float32)  # pads 5 -> 16
+    z = eng.encode(x)
+    assert z.shape == (5, 4, 4, 8)
+    y = eng.decode(z)
+    assert y.shape == (5, 16, 16, 1)
+    r = eng.reconstruct(x)
+    assert r.shape == x.shape
+    s = eng.sample(4)
+    assert s.shape == (4, 16, 16, 1)
+    # second call with the same bucket reuses the compiled fn
+    assert len(eng._fns) >= 3
+    n_before = len(eng._fns)
+    eng.encode(x)  # same bucket → no new compilation
+    assert len(eng._fns) == n_before
+
+
+def test_partition_params_2d_mesh():
+    model = _tiny_vae()
+    mesh = make_mesh(jax.devices()[:8], axis_names=("data", "model"), shape=(4, 2))
+    shardings = partition_params(model.variables["params"], mesh, min_size=1 << 8)
+    leaves = jax.tree_util.tree_leaves(shardings)
+    sharded = [s for s in leaves if s.spec != P()]
+    assert len(sharded) > 0  # at least the big kernels are model-sharded
+    # placing the params with these shardings works and keeps values
+    placed = jax.device_put(model.variables["params"], shardings)
+    a = jax.tree_util.tree_leaves(model.variables["params"])[0]
+    b = jax.tree_util.tree_leaves(placed)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
