@@ -1,51 +1,217 @@
-"""Benchmark: MNIST32 CNN VAE encode+decode throughput on TPU vs the
-reference's torch-CPU equivalent (BASELINE.json north-star: >10×
-Lightning-CPU img/s/chip).
+"""Benchmark: MNIST32 CNN VAE throughput on TPU vs the reference's torch-CPU
+equivalent (BASELINE.json north-star: >10× Lightning-CPU img/s/chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``python bench.py --detail`` additionally writes BENCH_DETAIL.json with:
+train-step throughput (fwd+bwd+optimizer), XLA-counted FLOPs → achieved
+TFLOP/s and MFU, bf16 vs f32 throughput, and OT-core kernel benches
+(sqrtm eigh vs Newton–Schulz, Sinkhorn XLA vs Pallas) — VERDICT r1 item 7.
+
+Methodology: every measurement uses a device-resident ``lax.fori_loop`` inner
+loop (host dispatch otherwise dominates: 38k vs 4.7M img/s on the same model)
+and reports the median of ``repeats`` outer timings; the round-1 3.27M vs
+4.68M img/s spread was run-to-run variance of single-shot timings through the
+remote-TPU tunnel, which the median + spread fields make visible.
 """
+import argparse
 import json
+import statistics
 import time
 
 import numpy as np
 
 
-def _jax_throughput(batch_size=250, outer=10, inner=20, warmup=2):
+def _median_time(fn, repeats=5):
+    """Median wall-clock of fn() (fn must block); returns (median, spread)."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    return med, (min(times), max(times))
+
+
+def _flops_of(jitted, *args):
+    """XLA-counted FLOPs of one call (best effort across jax versions)."""
+    try:
+        comp = jitted.lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def _build_model(dtype=None):
+    import jax.numpy as jnp
+
+    from ot_vae_tpu.models import VAE
+    from ot_vae_tpu.networks import CNN
+    from ot_vae_tpu.priors import GaussianPrior
+
+    kw = dict(dtype=dtype) if dtype is not None else {}
+    encoder = CNN(1, 256, 32, 1, capacity=8, down_sample=True, residual="add", **kw)
+    decoder = CNN(128, 1, 1, 32, capacity=8, up_sample=True, residual="add", **kw)
+    return VAE(metrics=None, encoder=encoder, decoder=decoder,
+               prior=GaussianPrior(loss_coeff=0.1))
+
+
+def _jax_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
+                    with_flops=False):
     """Encode+decode throughput with a device-resident inner loop — measures
     the chip, not host dispatch latency."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from ot_vae_tpu.models import VAE
-    from ot_vae_tpu.networks import CNN
-    from ot_vae_tpu.priors import GaussianPrior
-
-    encoder = CNN(1, 256, 32, 1, capacity=8, down_sample=True, residual="add")
-    decoder = CNN(128, 1, 1, 32, capacity=8, up_sample=True, residual="add")
-    model = VAE(metrics=None, encoder=encoder, decoder=decoder,
-                prior=GaussianPrior(loss_coeff=0.1))
-    batch = (jnp.zeros((batch_size, 32, 32, 1), jnp.float32),
+    model = _build_model(dtype)
+    xdtype = dtype or jnp.float32
+    batch = (jnp.zeros((batch_size, 32, 32, 1), xdtype),
              jnp.zeros((batch_size,), jnp.int32))
     variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    shape = (batch_size, 32, 32, 1)
 
     @jax.jit
-    def fwd_n(variables, x, key):
+    def fwd_n(variables, key):
         def body(i, acc):
-            out = model.net.apply(variables, x, 0, jax.random.fold_in(key, i), False)
+            # fresh input per iteration: nothing is loop-invariant, so XLA
+            # cannot hoist the encoder (a constant x lets CSE lift the whole
+            # encode out of the loop and the "throughput" measures only the
+            # decoder — the round-1 bench had this defect)
+            k = jax.random.fold_in(key, i)
+            x = jax.random.normal(k, shape, xdtype)
+            out = model.net.apply(variables, x, 0, k, False)
             return acc + jnp.mean(out)  # full-output dependency per step
-        return lax.fori_loop(0, inner, body, jnp.zeros((), x.dtype))
+        return lax.fori_loop(0, inner, body, jnp.zeros((), jnp.float32))
 
     key = jax.random.PRNGKey(1)
-    x = jax.random.normal(key, (batch_size, 32, 32, 1), jnp.float32)
-    for _ in range(warmup):
-        fwd_n(variables, x, key).block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(outer):
-        out = fwd_n(variables, x, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch_size * inner * outer / dt
+    outer = 5  # pipelined calls per timing: amortizes host dispatch
+    fwd_n(variables, key).block_until_ready()  # compile
+
+    def run():
+        outs = [fwd_n(variables, jax.random.fold_in(key, 1000 + j))
+                for j in range(outer)]
+        outs[-1].block_until_ready()
+
+    med, spread = _median_time(run, repeats)
+    n_img = batch_size * inner * outer
+    out = {"img_per_s": n_img / med,
+           "spread_img_per_s": (n_img / spread[1], n_img / spread[0])}
+    if with_flops:
+        out["flops_per_img"] = _flops_of(fwd_n, variables, key) / (
+            batch_size * inner)
+    return out
+
+
+def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None):
+    """FULL train step (fwd + bwd + adam update) throughput, device-resident."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import lax
+
+    model = _build_model(dtype)
+    xdtype = dtype or jnp.float32
+    batch = (jnp.zeros((batch_size, 32, 32, 1), xdtype),
+             jnp.zeros((batch_size,), jnp.int32))
+    variables = dict(model.init_variables(jax.random.PRNGKey(0), batch))
+    params = variables.pop("params")
+    opt = optax.adam(1e-3)  # plain adam: same math, fori_loop-friendly state
+    opt_state = opt.init(params)
+
+    def one_step(carry, i, x, key):
+        params, opt_state, mutable = carry
+        k = jax.random.fold_in(key, i)
+        pbatch = model.batch_preprocess((x, jnp.zeros((x.shape[0],), jnp.int32)),
+                                        k, train=True)
+
+        def lf(p):
+            v = {"params": p, **mutable}
+            loss, (logs, outputs, mutated) = model.loss_fn(
+                v, pbatch, 0, {"prior": k, "dropout": k})
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, {**mutable, **mutated}), loss
+
+    @jax.jit
+    def train_n(params, opt_state, mutable, x, key):
+        def body(i, carry):
+            carry, _ = one_step(carry, i, x, key)
+            return carry
+        return lax.fori_loop(0, inner, body, (params, opt_state, mutable))
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (batch_size, 32, 32, 1), xdtype)
+    out = train_n(params, opt_state, variables, x, key)
+    jax.block_until_ready(out)
+
+    med, spread = _median_time(
+        lambda: jax.block_until_ready(train_n(params, opt_state, variables, x, key)),
+        repeats,
+    )
+    ips = batch_size * inner / med
+    flops = _flops_of(train_n, params, opt_state, variables, x, key)
+    flops_per_img = flops / (batch_size * inner)
+    tflops = flops / med / 1e12
+    return {
+        "img_per_s": ips,
+        "spread_img_per_s": (batch_size * inner / spread[1],
+                             batch_size * inner / spread[0]),
+        "flops_per_img": flops_per_img,
+        "achieved_tflop_s": tflops,
+        # TPU v5e peak: 197 TFLOP/s bf16 (f32 throughput is ~half)
+        "mfu_vs_bf16_peak": tflops / 197.0,
+    }
+
+
+def _ot_core_bench(repeats=5):
+    """sqrtm (eigh vs Newton–Schulz) and Sinkhorn (XLA vs Pallas) on-device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ot_vae_tpu.ops.matrix import sqrtm, sqrtm_ns
+    from ot_vae_tpu.ops.w2 import sinkhorn_log
+
+    results = {}
+    key = jax.random.PRNGKey(0)
+
+    # batched SPD sqrtm: 64 × 128×128
+    m = jax.random.normal(key, (64, 128, 128), jnp.float32)
+    spd = m @ jnp.swapaxes(m, -1, -2) + 128 * jnp.eye(128)
+    for name, fn in (("sqrtm_eigh", sqrtm), ("sqrtm_newton_schulz", sqrtm_ns)):
+        j = jax.jit(fn)
+        j(spd).block_until_ready()
+        med, _ = _median_time(lambda j=j: j(spd).block_until_ready(), repeats)
+        results[f"{name}_64x128_ms"] = med * 1e3
+
+    # Sinkhorn 512×512 log-domain
+    ka, kb = jax.random.split(key)
+    a = jax.random.normal(ka, (512, 16))
+    b = jax.random.normal(kb, (512, 16))
+    cost = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, -1)
+    unif = jnp.full((512,), 1.0 / 512)
+
+    j_xla = jax.jit(lambda c: sinkhorn_log(unif, unif, c, 1.0, max_iter=200))
+    jax.block_until_ready(j_xla(cost))
+    med, _ = _median_time(lambda: jax.block_until_ready(j_xla(cost)), repeats)
+    results["sinkhorn_xla_512_ms"] = med * 1e3
+    try:
+        from ot_vae_tpu.ops.sinkhorn_pallas import sinkhorn_log_pallas
+
+        j_pl = jax.jit(lambda c: sinkhorn_log_pallas(
+            unif[None], unif[None], c[None], 1.0, max_iter=200))
+        jax.block_until_ready(j_pl(cost))
+        med, _ = _median_time(lambda: jax.block_until_ready(j_pl(cost)), repeats)
+        results["sinkhorn_pallas_512_ms"] = med * 1e3
+    except Exception as e:
+        results["sinkhorn_pallas_512_ms"] = f"unavailable: {e}"
+    return results
 
 
 def _torch_cpu_throughput(batch_size=250, iters=3, warmup=1):
@@ -90,12 +256,38 @@ def _torch_cpu_throughput(batch_size=250, iters=3, warmup=1):
 
 
 def main():
-    tpu_ips = _jax_throughput()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--detail", action="store_true",
+                        help="also write BENCH_DETAIL.json")
+    args = parser.parse_args()
+
+    eval_res = _jax_throughput()
+    tpu_ips = eval_res["img_per_s"]
     try:
         cpu_ips = _torch_cpu_throughput()
     except Exception:
         cpu_ips = float("nan")
     ratio = tpu_ips / cpu_ips if cpu_ips == cpu_ips else float("nan")
+
+    if args.detail:
+        import jax.numpy as jnp
+
+        detail = {
+            "eval_f32": _jax_throughput(with_flops=True),
+            "eval_bf16": _jax_throughput(dtype=jnp.bfloat16, with_flops=True),
+            "train_f32": _train_throughput(),
+            "train_bf16": _train_throughput(dtype=jnp.bfloat16),
+            "ot_core": _ot_core_bench(),
+            "torch_cpu_eval_img_per_s": cpu_ips,
+        }
+        for k in ("eval_f32", "eval_bf16"):
+            d = detail[k]
+            if d.get("flops_per_img", 0) > 0:
+                d["achieved_tflop_s"] = d["flops_per_img"] * d["img_per_s"] / 1e12
+                d["mfu_vs_bf16_peak"] = d["achieved_tflop_s"] / 197.0
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=2, default=str)
+
     print(json.dumps({
         "metric": "mnist32_vae_encode_decode_throughput",
         "value": round(tpu_ips, 1),

@@ -156,15 +156,15 @@ class FrechetInceptionDistance(Metric):
         return _FIDState(z((d,)), z((d, d)), z(()), z((d,)), z((d, d)), z(()))
 
     def update(self, state, samples=None, generated=None, **_):
-        if generated is not None:
-            f = self._features(generated).astype(jnp.float32)
+        if samples is not None:  # real data distribution
+            f = self._features(samples).astype(jnp.float32)
             state = state.replace(
                 real_sum=state.real_sum + f.sum(0),
                 real_gram=state.real_gram + f.T @ f,
                 real_n=state.real_n + f.shape[0],
             )
-        if samples is not None:
-            f = self._features(samples).astype(jnp.float32)
+        if generated is not None:  # model samples
+            f = self._features(generated).astype(jnp.float32)
             state = state.replace(
                 fake_sum=state.fake_sum + f.sum(0),
                 fake_gram=state.fake_gram + f.T @ f,

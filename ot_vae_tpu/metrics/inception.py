@@ -1,0 +1,342 @@
+"""InceptionV3 feature extractor for real FID computation.
+
+The reference embeds torchmetrics' ``NoTrainInceptionV3`` (pretrained
+InceptionV3, 2048-d pool3 features) so its FID is comparable to published
+numbers (reference: ot_vae_lightning/metrics/fid.py:29-31). This environment
+has no network egress, so pretrained weights cannot be downloaded — instead
+this module implements the InceptionV3 *forward pass* natively in JAX (NHWC,
+jit-friendly) and loads weights from a local ``.npz`` file the moment one
+exists on disk.
+
+Expected weights format
+-----------------------
+A ``.npz`` whose keys are the torchvision ``inception_v3`` ``state_dict``
+keys (feature trunk only — ``fc.*`` / ``AuxLogits.*`` entries are ignored)::
+
+    import numpy as np, torchvision
+    m = torchvision.models.inception_v3(weights="IMAGENET1K_V1")
+    np.savez("inception_v3.npz",
+             **{k: v.numpy() for k, v in m.state_dict().items()})
+
+Conv kernels are stored OIHW (torch layout) and converted to HWIO at load
+time. BatchNorm uses eps=1e-3 (the torchvision value). The architecture
+(channel widths) is derived from the kernel shapes in the file, so a
+narrow randomly-initialised instance with the same key structure exercises
+the full code path in tests (see :func:`random_inception_npz`).
+
+Usage::
+
+    from ot_vae_tpu.metrics import FrechetInceptionDistance
+    from ot_vae_tpu.metrics.inception import make_inception_feature_fn
+    fid = FrechetInceptionDistance(
+        feature_size=2048, feature_fn=make_inception_feature_fn("inception_v3.npz"))
+
+Images are expected in [0, 1] NHWC (grayscale is tiled to RGB); they are
+resized to 299×299 bilinear and scaled to [-1, 1], matching the pytorch-fid /
+torchmetrics preprocessing.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "load_inception_npz",
+    "inception_features",
+    "make_inception_feature_fn",
+    "random_inception_npz",
+]
+
+_BN_EPS = 1e-3
+
+# ---------------------------------------------------------------------------
+# Architecture description (torchvision inception_v3 feature trunk).
+# Each BasicConv2d = conv (no bias) + batchnorm + relu. ``pad`` is the torch
+# symmetric padding; strides default to 1.
+# ---------------------------------------------------------------------------
+
+_STEM = [
+    ("Conv2d_1a_3x3", 2, 0),
+    ("Conv2d_2a_3x3", 1, 0),
+    ("Conv2d_2b_3x3", 1, 1),
+    ("maxpool", None, None),
+    ("Conv2d_3b_1x1", 1, 0),
+    ("Conv2d_4a_3x3", 1, 0),
+    ("maxpool", None, None),
+]
+
+# (conv-name, stride, pad) per branch; branches are concatenated channel-wise.
+_INCEPTION_A = {  # Mixed_5b / 5c / 5d
+    "branch1x1": [("branch1x1", 1, 0)],
+    "branch5x5": [("branch5x5_1", 1, 0), ("branch5x5_2", 1, 2)],
+    "branch3x3dbl": [
+        ("branch3x3dbl_1", 1, 0),
+        ("branch3x3dbl_2", 1, 1),
+        ("branch3x3dbl_3", 1, 1),
+    ],
+    "branch_pool": "avgpool+conv",
+}
+_INCEPTION_C = {  # Mixed_6b..6e — 7x1/1x7 factorized convs
+    "branch1x1": [("branch1x1", 1, 0)],
+    "branch7x7": [
+        ("branch7x7_1", 1, 0),
+        ("branch7x7_2", 1, (0, 3)),
+        ("branch7x7_3", 1, (3, 0)),
+    ],
+    "branch7x7dbl": [
+        ("branch7x7dbl_1", 1, 0),
+        ("branch7x7dbl_2", 1, (3, 0)),
+        ("branch7x7dbl_3", 1, (0, 3)),
+        ("branch7x7dbl_4", 1, (3, 0)),
+        ("branch7x7dbl_5", 1, (0, 3)),
+    ],
+    "branch_pool": "avgpool+conv",
+}
+
+
+def load_inception_npz(path) -> Dict[str, Dict[str, np.ndarray]]:
+    """Load a torchvision-keyed npz into {module: {param: array}} with conv
+    kernels converted OIHW → HWIO."""
+    raw = np.load(path)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for key in raw.files:
+        if key.startswith(("fc.", "AuxLogits.")) or key.endswith("num_batches_tracked"):
+            continue
+        module, _, param = key.rpartition(".")
+        # module like 'Mixed_5b.branch1x1.conv' or 'Conv2d_1a_3x3.bn'
+        arr = raw[key]
+        if module.endswith(".conv") and param == "weight":
+            arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        params.setdefault(module, {})[param] = arr
+    return params
+
+
+def _conv_bn_relu(params, name: str, x, stride: int, pad):
+    """One torchvision BasicConv2d: conv(no bias) + BN(eps=1e-3) + relu."""
+    kernel = jnp.asarray(params[f"{name}.conv"]["weight"])
+    if isinstance(pad, tuple):
+        padding = [(pad[0], pad[0]), (pad[1], pad[1])]
+    else:
+        padding = [(pad, pad), (pad, pad)]
+    x = jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    bn = params[f"{name}.bn"]
+    scale = jnp.asarray(bn["weight"]) * jax.lax.rsqrt(
+        jnp.asarray(bn["running_var"]) + _BN_EPS
+    )
+    x = x * scale + (jnp.asarray(bn["bias"]) - jnp.asarray(bn["running_mean"]) * scale)
+    return jax.nn.relu(x)
+
+
+def _maxpool3x3s2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _avgpool3x3s1(x):
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
+    )
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    count = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
+    )
+    return s / count
+
+
+def _branch(params, prefix: str, spec, x):
+    if spec == "avgpool+conv":
+        return _conv_bn_relu(params, f"{prefix}.branch_pool", _avgpool3x3s1(x), 1, 0)
+    for name, stride, pad in spec:
+        x = _conv_bn_relu(params, f"{prefix}.{name}", x, stride, pad)
+    return x
+
+
+def _mixed(params, prefix: str, spec, x):
+    return jnp.concatenate(
+        [_branch(params, prefix, s, x) for s in spec.values()], axis=-1
+    )
+
+
+def _mixed_6a(params, x):  # InceptionB: grid reduction 35 -> 17
+    b3 = _conv_bn_relu(params, "Mixed_6a.branch3x3", x, 2, 0)
+    d = _conv_bn_relu(params, "Mixed_6a.branch3x3dbl_1", x, 1, 0)
+    d = _conv_bn_relu(params, "Mixed_6a.branch3x3dbl_2", d, 1, 1)
+    d = _conv_bn_relu(params, "Mixed_6a.branch3x3dbl_3", d, 2, 0)
+    return jnp.concatenate([b3, d, _maxpool3x3s2(x)], axis=-1)
+
+
+def _mixed_7a(params, x):  # InceptionD: grid reduction 17 -> 8
+    b3 = _conv_bn_relu(params, "Mixed_7a.branch3x3_1", x, 1, 0)
+    b3 = _conv_bn_relu(params, "Mixed_7a.branch3x3_2", b3, 2, 0)
+    b7 = _conv_bn_relu(params, "Mixed_7a.branch7x7x3_1", x, 1, 0)
+    b7 = _conv_bn_relu(params, "Mixed_7a.branch7x7x3_2", b7, 1, (0, 3))
+    b7 = _conv_bn_relu(params, "Mixed_7a.branch7x7x3_3", b7, 1, (3, 0))
+    b7 = _conv_bn_relu(params, "Mixed_7a.branch7x7x3_4", b7, 2, 0)
+    return jnp.concatenate([b3, b7, _maxpool3x3s2(x)], axis=-1)
+
+
+def _mixed_e(params, prefix: str, x):  # InceptionE: Mixed_7b / 7c
+    b1 = _conv_bn_relu(params, f"{prefix}.branch1x1", x, 1, 0)
+    b3 = _conv_bn_relu(params, f"{prefix}.branch3x3_1", x, 1, 0)
+    b3 = jnp.concatenate(
+        [
+            _conv_bn_relu(params, f"{prefix}.branch3x3_2a", b3, 1, (0, 1)),
+            _conv_bn_relu(params, f"{prefix}.branch3x3_2b", b3, 1, (1, 0)),
+        ],
+        axis=-1,
+    )
+    d = _conv_bn_relu(params, f"{prefix}.branch3x3dbl_1", x, 1, 0)
+    d = _conv_bn_relu(params, f"{prefix}.branch3x3dbl_2", d, 1, 1)
+    d = jnp.concatenate(
+        [
+            _conv_bn_relu(params, f"{prefix}.branch3x3dbl_3a", d, 1, (0, 1)),
+            _conv_bn_relu(params, f"{prefix}.branch3x3dbl_3b", d, 1, (1, 0)),
+        ],
+        axis=-1,
+    )
+    pool = _conv_bn_relu(params, f"{prefix}.branch_pool", _avgpool3x3s1(x), 1, 0)
+    return jnp.concatenate([b1, b3, d, pool], axis=-1)
+
+
+def inception_features(params, images: jax.Array) -> jax.Array:
+    """Pool3 features [B, C_out] of NHWC images already preprocessed to
+    299×299 in [-1, 1]. C_out is 2048 for real torchvision weights and
+    derived from the kernel shapes for narrow test instances."""
+    x = images
+    for name, stride, pad in _STEM:
+        x = _maxpool3x3s2(x) if name == "maxpool" else _conv_bn_relu(
+            params, name, x, stride, pad
+        )
+    for blk in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        x = _mixed(params, blk, _INCEPTION_A, x)
+    x = _mixed_6a(params, x)
+    for blk in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        x = _mixed(params, blk, _INCEPTION_C, x)
+    x = _mixed_7a(params, x)
+    x = _mixed_e(params, "Mixed_7b", x)
+    x = _mixed_e(params, "Mixed_7c", x)
+    return jnp.mean(x, axis=(1, 2))  # global average pool -> [B, C]
+
+
+def make_inception_feature_fn(path, resize: int = 299) -> Callable:
+    """Build a ``feature_fn`` for :class:`FrechetInceptionDistance` from a
+    local weights file. Input images: NHWC in [0, 1] (grayscale tiled to RGB);
+    preprocessing matches pytorch-fid (bilinear resize to 299, scale to
+    [-1, 1])."""
+    params = load_inception_npz(path)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def fn(images: jax.Array) -> jax.Array:
+        if images.shape[-1] == 1:
+            images = jnp.tile(images, (1, 1, 1, 3))
+        if images.shape[1] != resize or images.shape[2] != resize:
+            images = jax.image.resize(
+                images, (images.shape[0], resize, resize, 3), "bilinear"
+            )
+        return inception_features(params, images * 2.0 - 1.0)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Test/fabrication helper: a randomly initialised instance with the same key
+# structure, optionally channel-narrowed, so the loading + forward path is
+# provable offline. Also serves as executable documentation of the schema.
+# ---------------------------------------------------------------------------
+
+def _arch_channels(w: float):
+    """(in_ch, out_ch, kh, kw) per conv module name, width-scaled by ``w``."""
+    c = lambda n: max(4, int(round(n * w)))  # noqa: E731
+    convs = {
+        "Conv2d_1a_3x3": (3, c(32), 3, 3),
+        "Conv2d_2a_3x3": (c(32), c(32), 3, 3),
+        "Conv2d_2b_3x3": (c(32), c(64), 3, 3),
+        "Conv2d_3b_1x1": (c(64), c(80), 1, 1),
+        "Conv2d_4a_3x3": (c(80), c(192), 3, 3),
+    }
+    ch = c(192)
+    for blk, pool_ch in (("Mixed_5b", c(32)), ("Mixed_5c", c(64)), ("Mixed_5d", c(64))):
+        convs.update({
+            f"{blk}.branch1x1": (ch, c(64), 1, 1),
+            f"{blk}.branch5x5_1": (ch, c(48), 1, 1),
+            f"{blk}.branch5x5_2": (c(48), c(64), 5, 5),
+            f"{blk}.branch3x3dbl_1": (ch, c(64), 1, 1),
+            f"{blk}.branch3x3dbl_2": (c(64), c(96), 3, 3),
+            f"{blk}.branch3x3dbl_3": (c(96), c(96), 3, 3),
+            f"{blk}.branch_pool": (ch, pool_ch, 1, 1),
+        })
+        ch = c(64) + c(64) + c(96) + pool_ch
+    convs.update({
+        "Mixed_6a.branch3x3": (ch, c(384), 3, 3),
+        "Mixed_6a.branch3x3dbl_1": (ch, c(64), 1, 1),
+        "Mixed_6a.branch3x3dbl_2": (c(64), c(96), 3, 3),
+        "Mixed_6a.branch3x3dbl_3": (c(96), c(96), 3, 3),
+    })
+    ch = c(384) + c(96) + ch
+    for blk, c7 in (
+        ("Mixed_6b", c(128)), ("Mixed_6c", c(160)),
+        ("Mixed_6d", c(160)), ("Mixed_6e", c(192)),
+    ):
+        convs.update({
+            f"{blk}.branch1x1": (ch, c(192), 1, 1),
+            f"{blk}.branch7x7_1": (ch, c7, 1, 1),
+            f"{blk}.branch7x7_2": (c7, c7, 1, 7),
+            f"{blk}.branch7x7_3": (c7, c(192), 7, 1),
+            f"{blk}.branch7x7dbl_1": (ch, c7, 1, 1),
+            f"{blk}.branch7x7dbl_2": (c7, c7, 7, 1),
+            f"{blk}.branch7x7dbl_3": (c7, c7, 1, 7),
+            f"{blk}.branch7x7dbl_4": (c7, c7, 7, 1),
+            f"{blk}.branch7x7dbl_5": (c7, c(192), 1, 7),
+            f"{blk}.branch_pool": (ch, c(192), 1, 1),
+        })
+        ch = 4 * c(192)
+    convs.update({
+        "Mixed_7a.branch3x3_1": (ch, c(192), 1, 1),
+        "Mixed_7a.branch3x3_2": (c(192), c(320), 3, 3),
+        "Mixed_7a.branch7x7x3_1": (ch, c(192), 1, 1),
+        "Mixed_7a.branch7x7x3_2": (c(192), c(192), 1, 7),
+        "Mixed_7a.branch7x7x3_3": (c(192), c(192), 7, 1),
+        "Mixed_7a.branch7x7x3_4": (c(192), c(192), 3, 3),
+    })
+    ch = c(320) + c(192) + ch
+    for blk in ("Mixed_7b", "Mixed_7c"):
+        convs.update({
+            f"{blk}.branch1x1": (ch, c(320), 1, 1),
+            f"{blk}.branch3x3_1": (ch, c(384), 1, 1),
+            f"{blk}.branch3x3_2a": (c(384), c(384), 1, 3),
+            f"{blk}.branch3x3_2b": (c(384), c(384), 3, 1),
+            f"{blk}.branch3x3dbl_1": (ch, c(448), 1, 1),
+            f"{blk}.branch3x3dbl_2": (c(448), c(384), 3, 3),
+            f"{blk}.branch3x3dbl_3a": (c(384), c(384), 1, 3),
+            f"{blk}.branch3x3dbl_3b": (c(384), c(384), 3, 1),
+            f"{blk}.branch_pool": (ch, c(192), 1, 1),
+        })
+        ch = c(320) + 2 * c(384) + 2 * c(384) + c(192)
+    return convs, ch
+
+
+def random_inception_npz(path, width: float = 1.0, seed: int = 0) -> int:
+    """Write a random-weights npz in the documented schema (torch OIHW keys);
+    returns the output feature dimensionality. ``width`` scales all channel
+    counts (use e.g. 1/16 for a fast test instance)."""
+    rng = np.random.default_rng(seed)
+    convs, out_ch = _arch_channels(width)
+    arrays = {}
+    for name, (cin, cout, kh, kw) in convs.items():
+        fan_in = cin * kh * kw
+        arrays[f"{name}.conv.weight"] = rng.normal(
+            0, 1.0 / np.sqrt(fan_in), (cout, cin, kh, kw)
+        ).astype(np.float32)
+        arrays[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+        arrays[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
+        arrays[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+        arrays[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+    np.savez(path, **arrays)
+    return out_ch

@@ -112,14 +112,55 @@ class VisionModel:
 
         # reference: Adam(1e-3, (0.9, 0.999)) + ReduceLROnPlateau
         # (model/vae.py:148-156); the plateau scale is injected by the trainer.
-        return optax.inject_hyperparams(optax.adam)(
+        base = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.learning_rate, b1=0.9, b2=0.999
         )
+        frozen = self.frozen_param_paths()
+        if not frozen:
+            return base
+        # zero the updates of frozen subtrees so grafted weights stay
+        # bit-identical through training (reference freeze support,
+        # utils/partial_checkpoint.py:70-76 — requires_grad_(False))
+        return optax.chain(
+            base,
+            optax.masked(optax.set_to_zero(), lambda p: self.frozen_mask(p)),
+        )
+
+    def frozen_param_paths(self) -> list:
+        """'/': separated param paths to freeze — by default the subtrees of
+        partial checkpoints declared with ``freeze=True``."""
+        return [
+            attr
+            for attr, pc in (self.checkpoints or {}).items()
+            if getattr(pc, "freeze", False)
+        ]
+
+    def frozen_mask(self, params):
+        """Bool pytree matching ``params``: True where the leaf lies inside a
+        frozen subtree (consumed by ``optax.masked``)."""
+        from flax import traverse_util
+
+        frozen = [tuple(p.split("/")) for p in self.frozen_param_paths()]
+        flat = traverse_util.flatten_dict(params)
+        mask = {
+            k: any(tuple(k[: len(f)]) == f for f in frozen) for k in flat
+        }
+        return traverse_util.unflatten_dict(mask)
 
     def trainable_params(self, params):
-        """Override to freeze subtrees (reference freeze support,
+        """The params subtree the optimizer updates — everything outside the
+        frozen subtrees (reference freeze support,
         utils/partial_checkpoint.py:70-76)."""
-        return params
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(params)
+        frozen = [tuple(p.split("/")) for p in self.frozen_param_paths()]
+        kept = {
+            k: v
+            for k, v in flat.items()
+            if not any(tuple(k[: len(f)]) == f for f in frozen)
+        }
+        return traverse_util.unflatten_dict(kept)
 
     def setup(self):
         """Apply partial checkpoints (reference: model/base.py:192-195)."""

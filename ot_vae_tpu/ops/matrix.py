@@ -52,12 +52,22 @@ def symmetrize(matrices: jax.Array) -> jax.Array:
     return 0.5 * (matrices + jnp.swapaxes(matrices, -1, -2))
 
 
+def _f32_eigh(matrices: jax.Array):
+    """eigh with sub-f32 inputs upcast: bf16/fp16 have no LAPACK kernels on
+    CPU and no precision headroom for the spectral pipeline on TPU — compute
+    the decomposition in f32 and let callers cast results back."""
+    dtype = matrices.dtype
+    if jnp.finfo(dtype).bits < 32:
+        matrices = matrices.astype(jnp.float32)
+    return jnp.linalg.eigh(matrices), dtype
+
+
 def _eigh_apply(matrices: jax.Array, fn) -> jax.Array:
     """Apply a scalar function to the eigenvalues of a batch of symmetric
     matrices (reference: ot_vae_lightning/ot/matrix_utils.py:37-46)."""
-    w, v = jnp.linalg.eigh(matrices)
+    (w, v), dtype = _f32_eigh(matrices)
     w = fn(w)
-    return jnp.einsum("...ij,...j,...kj->...ik", v, w, v)
+    return jnp.einsum("...ij,...j,...kj->...ik", v, w, v).astype(dtype)
 
 
 def sqrtm(matrices: jax.Array) -> jax.Array:
@@ -78,11 +88,11 @@ def invsqrtm(matrices: jax.Array) -> jax.Array:
 
 def sqrtm_and_invsqrtm(matrices: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Square root and inverse square root sharing one eigendecomposition."""
-    w, v = jnp.linalg.eigh(matrices)
+    (w, v), dtype = _f32_eigh(matrices)
     w_sqrt = jnp.sqrt(jnp.clip(w, 0.0, None))
     w_isqrt = lax.rsqrt(jnp.clip(w, STABILITY_CONST, None))
-    sqrt = jnp.einsum("...ij,...j,...kj->...ik", v, w_sqrt, v)
-    isqrt = jnp.einsum("...ij,...j,...kj->...ik", v, w_isqrt, v)
+    sqrt = jnp.einsum("...ij,...j,...kj->...ik", v, w_sqrt, v).astype(dtype)
+    isqrt = jnp.einsum("...ij,...j,...kj->...ik", v, w_isqrt, v).astype(dtype)
     return sqrt, isqrt
 
 
@@ -130,6 +140,8 @@ def is_symmetric(matrices: jax.Array) -> jax.Array:
 
 def min_eig(matrices: jax.Array) -> jax.Array:
     """Minimum (signed) eigenvalue of each matrix in the batch [*]."""
+    if jnp.finfo(matrices.dtype).bits < 32:  # no bf16/fp16 LAPACK kernels
+        matrices = matrices.astype(jnp.float32)
     return jnp.min(jnp.linalg.eigvalsh(matrices), axis=-1)
 
 
@@ -159,6 +171,7 @@ def make_psd(
     correction = jnp.abs(jnp.clip(smallest, None, 0.0))
     if strict:
         correction = correction + STABILITY_CONST
+    correction = correction.astype(matrices.dtype)  # no silent f32 promotion
     if diag:
         res = matrices + correction[..., None]
     else:

@@ -31,6 +31,7 @@ from ot_vae_tpu.ops.matrix import (
     eye_like,
     make_psd,
     mean_cov,  # noqa: F401  (re-exported, part of the W2 public surface)
+    min_eig,
     sqrtm,
     sqrtm_and_invsqrtm,
     symmetrize,
@@ -383,7 +384,7 @@ def compute_transport_operators(
     if stochastic:
         T, Cw = _transport_full_stochastic(cov_source, cov_target, pg_star)
         T_det, Cw_det = _transport_full(cov_source, cov_target, pg_star)
-        min_eig_cw = jnp.min(jnp.linalg.eigvalsh(symmetrize(Cw)), axis=-1)
+        min_eig_cw = min_eig(symmetrize(Cw))  # (upcasts sub-f32 for eigvalsh)
         bad = (min_eig_cw < -STABILITY_CONST)[..., None, None]
         return jnp.where(bad, T_det, T), jnp.where(bad, Cw_det, Cw)
 

@@ -134,15 +134,26 @@ class Collage(Callback):
     num_samples: int = 8
     out_dir: str = "collages"
 
+    def __post_init__(self):
+        self._last_logged_step: Optional[int] = None
+
     def on_validation_epoch_end(self, trainer, model):
-        if trainer.current_epoch % max(1, self.log_interval // 100) != 0:
-            pass  # epoch-level frequency is cheap; always log
+        # step-based frequency like the reference ("number of steps between
+        # logging", utils/collage.py:40-46), evaluated at the epoch boundary
+        # where collages are cheap: skip if fewer than log_interval train
+        # steps ran since the last collage.
+        if (
+            self._last_logged_step is not None
+            and trainer.global_step - self._last_logged_step < self.log_interval
+        ):
+            return
         methods = getattr(model, "collage_methods", [])
         if not methods:
             return
         batch = trainer.first_val_batch
         if batch is None:
             return
+        self._last_logged_step = trainer.global_step
         pbatch = model.batch_preprocess(
             jax.tree_util.tree_map(np.asarray, batch), train=False
         )

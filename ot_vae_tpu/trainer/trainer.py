@@ -48,6 +48,21 @@ def _set_lr(opt_state, lr: float):
     return walk(opt_state)
 
 
+def _find_lr(opt_state):
+    """Read the injected learning rate back out of an optimizer state."""
+    found = []
+
+    def walk(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            found.append(node.hyperparams["learning_rate"])
+        elif isinstance(node, tuple) and not hasattr(node, "hyperparams"):
+            for c in node:
+                walk(c)
+
+    walk(opt_state)
+    return found[0] if found else None
+
+
 class Trainer:
     def __init__(
         self,
@@ -65,6 +80,7 @@ class Trainer:
         limit_batches: Optional[int] = None,
         enable_progress_bar: bool = False,
         profile_dir: Optional[str] = None,
+        metric_comm=None,
     ):
         self.max_epochs = max_epochs
         self.callbacks = list(callbacks or [])
@@ -79,6 +95,13 @@ class Trainer:
         self.min_lr = min_lr
         self.limit_batches = limit_batches
         self.profile_dir = profile_dir
+        # cross-process metric-state reduction seam (reference: torchmetrics
+        # dist_reduce_fx="sum" + sync_dist=True, model/base.py:215-220).
+        # Single-process GSPMD evaluates on global arrays so the identity comm
+        # is correct; multi-host trainers inject a process-level comm here.
+        from ot_vae_tpu.parallel.comm import NO_COMM
+
+        self.metric_comm = metric_comm if metric_comm is not None else NO_COMM
 
         self.state: Optional[TrainState] = None
         self.current_epoch = 0
@@ -198,6 +221,9 @@ class Trainer:
     def _init_fit(self, model, datamodule):
         self.datamodule = datamodule
         self.monitor = "val/metrics/" + model.monitor
+        # a min-mode monitor (e.g. FID) must drive the plateau downwards
+        # (reference: the model declares the mode, model/base.py:86-88)
+        self._monitor_mode = model.mode
         # inference transforms from the datamodule (reference: model/base.py:222-229)
         if isinstance(model.inference_preprocess, Identity):
             model.inference_preprocess = datamodule.inference_preprocess
@@ -219,12 +245,58 @@ class Trainer:
         self._plateau_best = None
         self._plateau_count = 0
 
+    def _restore_fit_state(self, model, path) -> int:
+        """Restore a TrainState saved by ``save_checkpoint`` into the freshly
+        initialised fit; returns the epoch to resume FROM (saved epoch + 1)."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+        import json
+
+        path = Path(path).absolute()
+        # the fresh state is the restore template, so optax namedtuple
+        # structure (incl. injected hyperparams) round-trips exactly
+        template = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "mutable": self.state.mutable,
+            "opt_state": self.state.opt_state,
+            "ema_params": self.state.ema_params,
+        }
+        tree = ocp.PyTreeCheckpointer().restore(path, item=template)
+        self.state = self.state.replace(
+            step=jnp.asarray(tree["step"]),
+            params=tree["params"],
+            mutable=tree["mutable"],
+            opt_state=tree["opt_state"],
+            ema_params=tree["ema_params"],
+        )
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        model.variables = self.state.variables
+        self.global_step = int(self.state.step)
+        restored_lr = _find_lr(self.state.opt_state)
+        if restored_lr is not None:
+            self._lr = float(restored_lr)
+        side = {}
+        sidecar = path / "sidecar.json"
+        if sidecar.exists():
+            with open(sidecar) as f:
+                side = json.load(f)
+        return int(side.get("epoch", -1)) + 1
+
     # ------------------------------------------------------------ fit
 
-    def fit(self, model, datamodule):
+    def fit(self, model, datamodule, resume_from=None):
+        """Train; pass ``resume_from=<checkpoint dir>`` to continue an
+        interrupted fit — restores step, params, mutable collections,
+        opt_state, EMA and the epoch counter (the reference gets this from
+        Lightning's ckpt_path resume, SURVEY §5)."""
         self._init_fit(model, datamodule)
+        start_epoch = 0
+        if resume_from is not None:
+            start_epoch = self._restore_fit_state(model, resume_from)
         self._hook("on_fit_start", model)
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             if self.should_stop:
                 break
             self.current_epoch = epoch
@@ -311,6 +383,9 @@ class Trainer:
             self.first_val_batch = first_batch
         results = {}
         if metric_states is not None:
+            # cross-process state reduction before compute (reference:
+            # sync_dist=True at epoch end, model/base.py:219)
+            metric_states = metrics.reduce(metric_states, self.metric_comm)
             results = {
                 k: float(v) for k, v in metrics.compute(metric_states).items()
             }

@@ -201,14 +201,28 @@ class LatentTransport(Callback):
             latents = self._encode(model, degraded, outputs.get("kwargs", {}))
             self._update(latents, outputs, source=True)
 
+    @staticmethod
+    def _gather_processes(x):
+        """All-gather host-buffered samples across processes along the batch
+        (-2) axis, so multi-host fits see the global sample set (reference
+        rank gather: ot/transport/base.py:134-149). No-op single-process; in
+        single-process GSPMD the buffers already hold global arrays."""
+        if x is None or jax.process_count() == 1:
+            return x
+        from jax.experimental import multihost_utils
+
+        g = multihost_utils.process_allgather(x)  # [P, ..., B, D]
+        g = jnp.moveaxis(g, 0, -3)  # [..., P, B, D]
+        return g.reshape(*g.shape[:-3], -1, g.shape[-1])
+
     def on_validation_epoch_end(self, trainer, model):
         """Fit the operator, log cost, collage
         (reference: transport_callback.py:594-602)."""
-        stored_src = (
+        stored_src = self._gather_processes(
             jnp.concatenate(self._stored["source"], axis=-2)
             if self._stored["source"] else None
         )
-        stored_tgt = (
+        stored_tgt = self._gather_processes(
             jnp.concatenate(self._stored["target"], axis=-2)
             if self._stored["target"] else None
         )

@@ -51,12 +51,19 @@ class GaussianTransport(TransportOperator):
     make_pd: bool = True
     update_decay: Optional[float] = None
     shrinkage: float = 1e-3
+    # Kahan-compensated f32 accumulation ON by default: validated against the
+    # float64 oracle at dims 64-512 / 1e5 samples (tests/test_empirical_cov.py,
+    # reference parity: tests/test_empirical_cov.py:24-77). Only active for
+    # plain sums (update_decay=None).
+    compensated: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @property
     def source_model(self) -> GaussianModel:
         return GaussianModel(self.leading_shape, self.dim, diag=self.diag,
-                             update_decay=self.update_decay, dtype=self.dtype)
+                             update_decay=self.update_decay, dtype=self.dtype,
+                             compensated=self.compensated and
+                             self.update_decay is None)
 
     target_model = source_model
 
