@@ -2,7 +2,7 @@
 (reference: ot_vae_lightning/data/)."""
 from ot_vae_tpu.data.base import ArrayDataset, BaseDatamodule, dataset_split
 from ot_vae_tpu.data.progressive import PgCompose, PgTransform, ProgressiveTransform
-from ot_vae_tpu.data.datasets import (CIFAR10, FFHQ64, FFHQ128, ImageFolderData, ImageNet224, ImageNet256, MNIST, MNIST32)
+from ot_vae_tpu.data.datasets import (CIFAR10, FFHQ64, FFHQ128, GenericDatamodule, ImageFolderData, ImageNet224, ImageNet256, MNIST, MNIST32)
 from ot_vae_tpu.data.synthetic import synthetic_digits, synthetic_textures
 from ot_vae_tpu.data.transforms import (
     CenterCrop,
@@ -26,6 +26,7 @@ __all__ = [
     "MNIST",
     "MNIST32",
     "CIFAR10",
+    "GenericDatamodule",
     "ImageFolderData",
     "ImageNet224",
     "ImageNet256",

@@ -31,7 +31,7 @@ from ot_vae_tpu.data.transforms import (
     UnNormalize,
 )
 
-__all__ = ["MNIST", "MNIST32", "CIFAR10", "ImageFolderData", "ImageNet224", "ImageNet256", "FFHQ64", "FFHQ128"]
+__all__ = ["MNIST", "MNIST32", "CIFAR10", "GenericDatamodule", "ImageFolderData", "ImageNet224", "ImageNet256", "FFHQ64", "FFHQ128"]
 
 _CACHE = Path(os.path.expanduser("~/.cache"))
 
@@ -248,3 +248,98 @@ class FFHQ128(ImageFolderData):
     MEAN: Tuple[float, ...] = (0.5207, 0.4254, 0.3805)
     STD: Tuple[float, ...] = (0.1164, 0.1110, 0.1162)
     root: Tuple[str, str] = ("~/data/ffhq_128_train", "~/data/ffhq_128_test")
+
+
+def _as_nhwc(img) -> np.ndarray:
+    """Coerce one dataset item image to float32 NHWC-compatible HWC."""
+    arr = np.asarray(img, dtype=np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    elif arr.ndim == 3 and arr.shape[0] in (1, 3, 4) and arr.shape[-1] not in (1, 3, 4):
+        arr = np.transpose(arr, (1, 2, 0))  # CHW (torch) -> HWC
+    if arr.max() > 1.5:  # uint8-scaled source
+        arr = arr / 255.0
+    return arr
+
+
+@dataclasses.dataclass
+class GenericDatamodule(BaseDatamodule):
+    """Wrap ANY map-style dataset class in a datamodule — the reference's
+    ``TorchvisionDatamodule`` extension point (reference:
+    data/torchvision_datamodule.py:28-122, esp. the train/split kwarg
+    sniffing at :86-96).
+
+    :param dataset: a dataset class/factory (or its dotted import path).
+        Instances must be map-style: ``__len__`` + ``__getitem__`` returning
+        ``(image, label)`` (torch/torchvision datasets qualify; images may be
+        HWC/CHW arrays, PIL images, or torch tensors).
+    :param dataset_kwargs: kwargs forwarded to every instantiation.
+    :param val_split: fraction of the eval-side data used for validation.
+
+    Split selection mirrors the reference's signature sniffing: if the
+    factory accepts ``train``, it is called with ``train=True/False``; else if
+    it accepts ``split``, with ``split='train'/'test'``; otherwise one
+    instance serves all splits (divided by ``val_split``).
+    """
+
+    dataset: object = None
+    dataset_kwargs: dict = dataclasses.field(default_factory=dict)
+    val_split: float = 0.5
+    transform: Optional[object] = None  # a Transform applied per batch
+
+    def _factory(self):
+        ds = self.dataset
+        if isinstance(ds, str):
+            import importlib
+
+            module, _, name = ds.rpartition(".")
+            ds = getattr(importlib.import_module(module), name)
+        if ds is None:
+            raise ValueError("GenericDatamodule requires `dataset`")
+        return ds
+
+    def _instantiate(self, train: bool):
+        import inspect
+
+        factory = self._factory()
+        try:
+            params = set(inspect.signature(factory).parameters)
+        except (TypeError, ValueError):
+            params = set()
+        kwargs = dict(self.dataset_kwargs)
+        if "train" in params:
+            kwargs["train"] = train
+        elif "split" in params:
+            kwargs["split"] = "train" if train else "test"
+        elif not train:
+            return None  # single-instance dataset: eval side split from train
+        return factory(**kwargs)
+
+    @staticmethod
+    def _materialize(ds) -> Tuple[np.ndarray, np.ndarray]:
+        images, labels = [], []
+        for i in range(len(ds)):
+            item = ds[i]
+            img, lab = item if isinstance(item, tuple) else (item, 0)
+            images.append(_as_nhwc(img))
+            labels.append(int(lab))
+        return np.stack(images), np.asarray(labels, np.int32)
+
+    def setup(self) -> None:
+        if self.train_dataset is not None:
+            return
+        transform = self.transform if self.transform is not None else Identity()
+        train_ds = self._instantiate(train=True)
+        eval_ds = self._instantiate(train=False)
+        train = self._materialize(train_ds)
+        if eval_ds is None:
+            # no train/split kwarg: carve eval data out of the single instance
+            train, evals = dataset_split(*train, 0.8, self.seed)
+        else:
+            evals = self._materialize(eval_ds)
+        self.img_size = train[0].shape[1:3]
+        self.train_dataset = ArrayDataset(*train, transform)
+        (vi, vl), (ti, tl) = dataset_split(*evals, self.val_split, self.seed)
+        self.val_dataset = ArrayDataset(vi, vl, transform)
+        self.test_dataset = ArrayDataset(ti, tl, transform)
+        self.predict_dataset = ArrayDataset(*evals, Identity())

@@ -300,3 +300,57 @@ def test_callback_gather_processes_single_process_noop():
     np.testing.assert_array_equal(
         np.asarray(LatentTransport._gather_processes(x)), np.asarray(x)
     )
+
+
+# -------------------------------------------------- generic dataset wrapper
+
+
+def test_generic_datamodule_train_kwarg_sniffing():
+    """Wraps any map-style dataset class; `train=` kwarg sniffed like the
+    reference (data/torchvision_datamodule.py:86-96)."""
+    from ot_vae_tpu.data import GenericDatamodule
+
+    class FakeTorchvisionDataset:
+        def __init__(self, root="", train=True):
+            n = 40 if train else 20
+            rng = np.random.default_rng(0 if train else 1)
+            # CHW uint8-style items, like torchvision
+            self._imgs = (rng.random((n, 1, 8, 8)) * 255).astype(np.float32)
+            self._labels = rng.integers(0, 10, n)
+
+        def __len__(self):
+            return len(self._imgs)
+
+        def __getitem__(self, i):
+            return self._imgs[i], self._labels[i]
+
+    dm = GenericDatamodule(
+        dataset=FakeTorchvisionDataset, dataset_kwargs={"root": "/nowhere"},
+        train_batch_size=8, val_batch_size=4, test_batch_size=4, seed=0,
+        val_split=0.5,
+    )
+    dm.setup()
+    assert len(dm.train_dataset) == 40
+    assert len(dm.val_dataset) + len(dm.test_dataset) == 20
+    imgs, labels = next(iter(dm.train_batches()))
+    assert imgs.shape == (8, 8, 8, 1)  # CHW item -> NHWC batch
+    assert imgs.dtype == np.float32 and imgs.max() <= 1.0  # uint8 rescaled
+    assert labels.shape == (8,)
+
+
+def test_generic_datamodule_single_instance_split():
+    """A dataset without train/split kwargs is carved 80/20 into
+    train / (val+test)."""
+    from ot_vae_tpu.data import GenericDatamodule
+
+    class PlainDataset:
+        def __len__(self):
+            return 50
+
+        def __getitem__(self, i):
+            return np.full((8, 8, 1), i / 50, np.float32), i % 3
+
+    dm = GenericDatamodule(dataset=PlainDataset, train_batch_size=8, seed=0)
+    dm.setup()
+    assert len(dm.train_dataset) == 40
+    assert len(dm.val_dataset) + len(dm.test_dataset) == 10
