@@ -91,6 +91,7 @@ def main(epochs: int = 3, batch_size: int = 100, n_train: int = 2000):
         static_argnums=2,
     )
 
+    results = []
     for level in range(1, LEVELS + 1):
         feat_shape = None
         op = None
@@ -121,6 +122,9 @@ def main(epochs: int = 3, batch_size: int = 100, n_train: int = 2000):
         psnr = 10 * np.log10(rng_span**2 / (sse / n))
         print(f"level {level}: transport cost={float(jnp.mean(cost)):.3f}, "
               f"restored PSNR={psnr:.2f} dB")
+        results.append({"level": level, "cost": float(jnp.mean(cost)),
+                        "psnr": float(psnr)})
+    return results
 
 
 if __name__ == "__main__":

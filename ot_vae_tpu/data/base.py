@@ -36,9 +36,43 @@ class ArrayDataset:
     def __len__(self) -> int:
         return len(self.images)
 
+    def _native_batcher(self, batch_size: int, seed: Optional[int]):
+        """The C++ prefetching batcher (ot_vae_tpu/data/native/batcher.cpp)
+        when opted in via OT_VAE_NATIVE_LOADER=1 and the transform is fusable
+        (Identity or per-channel Normalize). Opt-in because its deterministic
+        shuffle stream differs from NumPy's, which would shift the seeded
+        e2e floors."""
+        import os
+
+        if os.environ.get("OT_VAE_NATIVE_LOADER") != "1":
+            return None
+        from ot_vae_tpu.data import native_loader
+        from ot_vae_tpu.data.transforms import Normalize
+
+        mean = std = None
+        if isinstance(self.transform, Normalize):
+            mean, std = self.transform.mean, self.transform.std
+        elif not isinstance(self.transform, Identity):
+            return None
+        if not native_loader.available():
+            return None
+        cache = getattr(self, "_native_cache", None)
+        if cache is None:
+            cache = self._native_cache = {}
+        key = (batch_size, seed)
+        if key not in cache:  # one worker thread per (dataset, batch size)
+            cache[key] = native_loader.NativeBatcher(
+                self.images, self.labels, batch_size, seed or 0, mean, std
+            )
+        return cache[key]
+
     def batches(
         self, batch_size: int, shuffle: bool, seed: Optional[int], epoch: int = 0
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        native = self._native_batcher(batch_size, seed)
+        if native is not None:
+            yield from native.epoch(epoch, shuffle)
+            return
         n = len(self.images)
         idx = np.arange(n)
         if shuffle:

@@ -13,8 +13,20 @@ from ot_vae_tpu.parallel.partitioning import (
     partition_params,
     partition_spec_for,
 )
+from ot_vae_tpu.parallel.multihost import (
+    ProcessComm,
+    global_mesh,
+    host_local_batch_to_global,
+    initialize_distributed,
+    per_host_slice,
+)
 
 __all__ = [
+    "ProcessComm",
+    "global_mesh",
+    "host_local_batch_to_global",
+    "initialize_distributed",
+    "per_host_slice",
     "Comm",
     "NoComm",
     "AxisComm",

@@ -25,6 +25,15 @@ from ot_vae_tpu.trainer import Trainer
 _PSNR_PERFORMANCE = 15.0
 _MAX_EPOCH = 4
 
+# OT_VAE_FAST_TESTS=1 turns this e2e suite into a smoke gate (reduced epochs,
+# minimal floor): same code paths, ~5x faster on the single CPU core. The
+# default (full) mode is the parity gate with the TPU-verified floor.
+import os as _os
+if _os.environ.get("OT_VAE_FAST_TESTS") == "1":
+    _MAX_EPOCH = max(1, _MAX_EPOCH // 4)
+    _PSNR_PERFORMANCE = 5.0
+
+
 
 def _datamodule(batch_size=50):
     return MNIST32(

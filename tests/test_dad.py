@@ -16,6 +16,15 @@ from ot_vae_tpu.trainer import Trainer
 
 _PSNR_PERFORMANCE = 13
 _MAX_EPOCH = 8  # 13.8 dB at 8 epochs on the synthetic digits (TPU-verified)
+
+# OT_VAE_FAST_TESTS=1 turns this e2e suite into a smoke gate (reduced epochs,
+# minimal floor): same code paths, ~5x faster on the single CPU core. The
+# default (full) mode is the parity gate with the TPU-verified floor.
+import os as _os
+if _os.environ.get("OT_VAE_FAST_TESTS") == "1":
+    _MAX_EPOCH = max(1, _MAX_EPOCH // 4)
+    _PSNR_PERFORMANCE = 5.0
+
 _DIM = 64
 
 
