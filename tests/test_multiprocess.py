@@ -1,0 +1,89 @@
+"""REAL multi-process validation of the multihost wiring: two OS processes
+form a jax.distributed runtime over localhost (CPU backend, 4 virtual
+devices each → one 8-device global mesh), assemble a global batch from
+host-local shards, and run a psum'd computation. This is the integration test
+the reference never had for its multi-node path (Lightning ddp,
+configs/ddp.yaml:1-5 — SURVEY §4: "Multi-node/distributed testing: none").
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+from ot_vae_tpu.parallel import (
+    ProcessComm, global_mesh, host_local_batch_to_global,
+    initialize_distributed, per_host_slice,
+)
+ok = initialize_distributed(coordinator_address=coordinator,
+                            num_processes=2, process_id=pid)
+assert ok, "expected multi-process init"
+assert jax.process_count() == 2
+assert jax.device_count() == 8
+
+import numpy as np
+import jax.numpy as jnp
+mesh = global_mesh()
+assert mesh.devices.size == 8
+
+# per-host data feeding: global dataset of 16 rows, each host loads 8
+data = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+local = data[per_host_slice(16)]
+assert local.shape == (8, 3)
+g = host_local_batch_to_global(mesh, local)
+assert g.shape == (16, 3)
+
+# a jit'd global reduction must see ALL rows
+total = jax.jit(lambda x: jnp.sum(x))(g)
+expect = float(data.sum())
+assert abs(float(total) - expect) < 1e-3, (float(total), expect)
+
+# host-side cross-process metric reduction
+comm = ProcessComm()
+s = comm.psum(np.asarray([float(pid + 1)]))
+assert float(s[0]) == 3.0  # 1 + 2
+print(f"WORKER{pid} OK")
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_runtime(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = ""  # let the worker's config.update pick cpu
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER{pid} OK" in out
