@@ -36,23 +36,41 @@ class ArrayDataset:
     def __len__(self) -> int:
         return len(self.images)
 
-    def _native_batcher(self, batch_size: int, seed: Optional[int]):
+    def _native_batcher(
+        self, batch_size: int, seed: Optional[int], shuffle: bool
+    ):
         """The C++ prefetching batcher (ot_vae_tpu/data/native/batcher.cpp)
-        when opted in via OT_VAE_NATIVE_LOADER=1 and the transform is fusable
-        (Identity or per-channel Normalize). Opt-in because its deterministic
-        shuffle stream differs from NumPy's, which would shift the seeded
-        e2e floors."""
+        when the transform is fusable (Identity or per-channel Normalize).
+
+        Routing (``OT_VAE_NATIVE_LOADER``): unset → native for UNSHUFFLED
+        iteration only (val/test/predict), where its batch stream is
+        bit-identical to the NumPy path (sequential slices; the fused C++
+        normalize performs the same two IEEE float32 ops); ``1`` → native for
+        shuffled training too (its seeded shuffle is deterministic but a
+        different permutation stream than NumPy's, which shifts seeded e2e
+        floors); ``0`` → never."""
         import os
 
-        if os.environ.get("OT_VAE_NATIVE_LOADER") != "1":
+        env = os.environ.get("OT_VAE_NATIVE_LOADER", "")
+        if env == "0" or (shuffle and env != "1"):
             return None
         from ot_vae_tpu.data import native_loader
-        from ot_vae_tpu.data.transforms import Normalize
+        from ot_vae_tpu.data.transforms import Compose, Normalize, Pad
 
+        # Fusable chains: Identity | Normalize | Pad | Normalize→Pad
+        # (Compose-wrapped or bare). Anything else falls back to NumPy.
+        chain = (list(self.transform.transforms)
+                 if isinstance(self.transform, Compose) else [self.transform])
+        chain = [t for t in chain if not isinstance(t, Identity)]
         mean = std = None
-        if isinstance(self.transform, Normalize):
-            mean, std = self.transform.mean, self.transform.std
-        elif not isinstance(self.transform, Identity):
+        pad = 0
+        if chain and isinstance(chain[0], Normalize):
+            mean, std = chain[0].mean, chain[0].std
+            chain = chain[1:]
+        if chain and isinstance(chain[0], Pad):
+            pad = chain[0].padding
+            chain = chain[1:]
+        if chain:
             return None
         if not native_loader.available():
             return None
@@ -62,14 +80,15 @@ class ArrayDataset:
         key = (batch_size, seed)
         if key not in cache:  # one worker thread per (dataset, batch size)
             cache[key] = native_loader.NativeBatcher(
-                self.images, self.labels, batch_size, seed or 0, mean, std
+                self.images, self.labels, batch_size, seed or 0, mean, std,
+                pad,
             )
         return cache[key]
 
     def batches(
         self, batch_size: int, shuffle: bool, seed: Optional[int], epoch: int = 0
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        native = self._native_batcher(batch_size, seed)
+        native = self._native_batcher(batch_size, seed, shuffle)
         if native is not None:
             yield from native.epoch(epoch, shuffle)
             return

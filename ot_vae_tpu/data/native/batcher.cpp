@@ -8,11 +8,17 @@
 // single C++ worker thread, avoiding Python-process fan-out entirely.
 //
 // C ABI (consumed via ctypes from ot_vae_tpu/data/native_loader.py):
-//   ot_batcher_create(images, labels, n, item_size, channels, batch_size,
-//                     mean, std, seed) -> handle
+//   ot_batcher_create(images, labels, n, height, width, channels, batch_size,
+//                     mean, std, pad, seed) -> handle
 //   ot_batcher_start_epoch(handle, epoch, shuffle)
 //   ot_batcher_next(handle, out_images, out_labels) -> 1 (batch) | 0 (done)
 //   ot_batcher_destroy(handle)
+//
+// `pad` zero-pads H and W by `pad` on each side AFTER normalization — the
+// fused form of Compose([Normalize, Pad(p)]) (e.g. the MNIST32 eval
+// transform). np.pad writes exact zeros and the interior runs the same IEEE
+// float32 (x - mean) / std, so the output is bit-identical to the Python
+// transform chain.
 //
 // The caller keeps the images/labels arrays alive for the handle's lifetime.
 // Shuffling is a seeded Fisher–Yates over splitmix64 — deterministic for a
@@ -50,16 +56,25 @@ struct SplitMix64 {
 };
 
 struct Batcher {
-  const float* images;    // [n, item_size]
+  const float* images;    // [n, H, W, C]
   const int32_t* labels;  // [n]
   int64_t n;
-  int64_t item_size;      // H*W*C
+  int64_t height, width;
   int64_t channels;       // C (for per-channel normalize)
+  int64_t item_size;      // H*W*C (source row size)
+  int64_t out_size;       // (H+2p)*(W+2p)*C (output row size)
+  int64_t pad = 0;        // zero-pad per side on H and W, applied post-norm
   int64_t batch_size;
   uint64_t seed;
   bool normalize;
-  std::vector<float> scale;   // 1/std per channel
-  std::vector<float> shift;   // -mean/std per channel
+  // Kept as (mean, std) and applied as (x - mean) / std — the exact same two
+  // IEEE float32 operations the NumPy Normalize transform performs — so the
+  // unshuffled batch stream is BIT-IDENTICAL to the Python path (required for
+  // the loader to be the default on val/test without shifting seeded metric
+  // floors). Do not "optimize" into x*(1/std) + (-mean/std): FMA/reciprocal
+  // rounding breaks the bit parity.
+  std::vector<float> norm_mean;
+  std::vector<float> norm_std;
 
   std::vector<int64_t> perm;
   int64_t cursor = 0;  // next batch index handed to the consumer
@@ -77,22 +92,36 @@ struct Batcher {
   std::atomic<bool> stop{false};
   bool epoch_active = false;
 
+  // Copy/normalize `count` contiguous channel-minor floats.
+  void emit_line(const float* src_line, float* dst_line, int64_t count) {
+    if (normalize) {
+      for (int64_t i = 0; i < count; ++i) {
+        const int64_t c = i % channels;
+        dst_line[i] = (src_line[i] - norm_mean[c]) / norm_std[c];
+      }
+    } else {
+      std::memcpy(dst_line, src_line, sizeof(float) * count);
+    }
+  }
+
   void fill_batch(int slot) {
     float* out = buf_images[slot].data();
     int32_t* lab = buf_labels[slot].data();
     const int64_t start = fill_cursor * batch_size;
+    const int64_t out_w = width + 2 * pad;
     for (int64_t b = 0; b < batch_size; ++b) {
       const int64_t src = perm[start + b];
       const float* row = images + src * item_size;
-      float* dst = out + b * item_size;
-      if (normalize) {
-        // fused gather + normalize: one pass, channel-minor (NHWC) layout
-        for (int64_t i = 0; i < item_size; ++i) {
-          const int64_t c = i % channels;
-          dst[i] = row[i] * scale[c] + shift[c];
-        }
+      float* dst = out + b * out_size;
+      if (pad == 0) {
+        emit_line(row, dst, item_size);  // whole item is contiguous
       } else {
-        std::memcpy(dst, row, sizeof(float) * item_size);
+        std::memset(dst, 0, sizeof(float) * out_size);  // exact-zero border
+        for (int64_t h = 0; h < height; ++h) {
+          emit_line(row + h * width * channels,
+                    dst + ((h + pad) * out_w + pad) * channels,
+                    width * channels);
+        }
       }
       lab[b] = labels[src];
     }
@@ -125,29 +154,29 @@ struct Batcher {
 extern "C" {
 
 void* ot_batcher_create(const float* images, const int32_t* labels, int64_t n,
-                        int64_t item_size, int64_t channels,
+                        int64_t height, int64_t width, int64_t channels,
                         int64_t batch_size, const float* mean,
-                        const float* std_, uint64_t seed) {
+                        const float* std_, int64_t pad, uint64_t seed) {
   auto* b = new Batcher();
   b->images = images;
   b->labels = labels;
   b->n = n;
-  b->item_size = item_size;
+  b->height = height;
+  b->width = width;
   b->channels = channels;
+  b->item_size = height * width * channels;
+  b->out_size = (height + 2 * pad) * (width + 2 * pad) * channels;
+  b->pad = pad;
   b->batch_size = batch_size;
   b->seed = seed;
   b->normalize = (mean != nullptr && std_ != nullptr);
   if (b->normalize) {
-    b->scale.resize(channels);
-    b->shift.resize(channels);
-    for (int64_t c = 0; c < channels; ++c) {
-      b->scale[c] = 1.0f / std_[c];
-      b->shift[c] = -mean[c] / std_[c];
-    }
+    b->norm_mean.assign(mean, mean + channels);
+    b->norm_std.assign(std_, std_ + channels);
   }
   b->perm.resize(n);
   for (int i = 0; i < 2; ++i) {
-    b->buf_images[i].resize(batch_size * item_size);
+    b->buf_images[i].resize(batch_size * b->out_size);
     b->buf_labels[i].resize(batch_size);
   }
   b->worker = std::thread([b] { b->worker_loop(); });
@@ -183,7 +212,7 @@ int ot_batcher_next(void* handle, float* out_images, int32_t* out_labels) {
     b->cv.wait(lk, [&] { return b->buf_ready[slot] == 1; });
   }
   std::memcpy(out_images, b->buf_images[slot].data(),
-              sizeof(float) * b->batch_size * b->item_size);
+              sizeof(float) * b->batch_size * b->out_size);
   std::memcpy(out_labels, b->buf_labels[slot].data(),
               sizeof(int32_t) * b->batch_size);
   {

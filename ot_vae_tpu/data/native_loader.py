@@ -47,8 +47,8 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.ot_batcher_create.restype = ctypes.c_void_p
     lib.ot_batcher_create.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_uint64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64,
     ]
     lib.ot_batcher_start_epoch.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
@@ -77,7 +77,12 @@ class NativeBatcher:
     :param images: [N, H, W, C] float32 (C-contiguous)
     :param labels: [N] int32
     :param mean/std: optional per-channel stats — normalization is fused into
-        the native gather (the hot path of Normalize transforms)
+        the native gather (the hot path of Normalize transforms) using the
+        same IEEE float32 (x - mean) / std as the Python transform
+        (bit-identical)
+    :param pad: zero-pad H and W by ``pad`` per side after normalization —
+        the fused form of Compose([Normalize, Pad(pad)]) (MNIST32's eval
+        transform); the border is exact zeros like ``np.pad``
 
     Shuffling is deterministic for a given (seed, epoch) via splitmix64 +
     Fisher–Yates (platform-independent; intentionally NOT the NumPy stream).
@@ -86,27 +91,27 @@ class NativeBatcher:
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, seed: int = 0,
                  mean: Optional[Tuple[float, ...]] = None,
-                 std: Optional[Tuple[float, ...]] = None):
+                 std: Optional[Tuple[float, ...]] = None,
+                 pad: int = 0):
         lib = _lib()
         if lib is None:
             raise RuntimeError("native batcher unavailable (no g++?)")
         self._lib = lib
         self.images = np.ascontiguousarray(images, np.float32)
         self.labels = np.ascontiguousarray(labels, np.int32)
-        n, *item = self.images.shape
+        n, h, w, c = self.images.shape
         self.batch_size = int(min(batch_size, n))
-        self.item_shape = tuple(item)
-        channels = item[-1] if item else 1
+        self.item_shape = (h + 2 * pad, w + 2 * pad, c)
         self._mean = (np.ascontiguousarray(mean, np.float32)
                       if mean is not None else None)
         self._std = (np.ascontiguousarray(std, np.float32)
                      if std is not None else None)
         self._handle = lib.ot_batcher_create(
             self.images.ctypes.data, self.labels.ctypes.data,
-            n, int(np.prod(item)), channels, self.batch_size,
+            n, h, w, c, self.batch_size,
             self._mean.ctypes.data if self._mean is not None else None,
             self._std.ctypes.data if self._std is not None else None,
-            np.uint64(seed),
+            int(pad), np.uint64(seed),
         )
 
     def epoch(self, epoch: int = 0, shuffle: bool = True

@@ -31,13 +31,36 @@ def test_unshuffled_matches_numpy_path():
         np.testing.assert_array_equal(bl, labs[i * 8 : (i + 1) * 8])
 
 
-def test_fused_normalize_matches_transform():
+def test_fused_normalize_bit_identical_to_transform():
+    """The C++ normalize performs the same two IEEE float32 ops as the NumPy
+    Normalize ((x - mean) / std) — BIT-identical, which is what licenses the
+    native loader as the default for unshuffled val/test iteration."""
     imgs, labs = _data()
     mean, std = (0.5, 0.4, 0.6), (0.2, 0.3, 0.25)
     nb = native_loader.NativeBatcher(imgs, labs, 8, seed=1, mean=mean, std=std)
     bi, _ = next(nb.epoch(0, shuffle=False))
     expect = np.asarray(Normalize(mean, std)(imgs[:8]), np.float32)
-    np.testing.assert_allclose(bi, expect, atol=1e-6)
+    np.testing.assert_array_equal(bi, expect)
+
+
+def test_fused_normalize_pad_bit_identical_mnist32_chain():
+    """Compose([Normalize, Pad(2)]) — the MNIST32 eval transform — fuses into
+    the native gather (normalized interior + exact-zero border) and the
+    ArrayDataset default (unshuffled) routing picks it up bit-identically."""
+    from ot_vae_tpu.data.transforms import Compose, Pad
+
+    rng = np.random.default_rng(5)
+    imgs = rng.random((24, 28, 28, 1)).astype(np.float32)
+    labs = rng.integers(0, 10, 24).astype(np.int32)
+    tf = Compose([Normalize((0.1307,), (0.3081,)), Pad(2)])
+    ds = ArrayDataset(imgs, labs, tf)
+    got = list(ds.batches(8, shuffle=False, seed=0))
+    assert getattr(ds, "_native_cache", None), "chain should route native"
+    assert got[0][0].shape == (8, 32, 32, 1)
+    for i, (bi, bl) in enumerate(got):
+        expect = np.asarray(tf(imgs[i * 8 : (i + 1) * 8]), np.float32)
+        np.testing.assert_array_equal(bi, expect)
+        np.testing.assert_array_equal(bl, labs[i * 8 : (i + 1) * 8])
 
 
 def test_shuffle_is_deterministic_permutation():
@@ -53,17 +76,36 @@ def test_shuffle_is_deterministic_permutation():
     assert key(ep0a) == key(imgs) and key(ep1) == key(imgs)
 
 
-def test_arraydataset_opt_in_routing(monkeypatch):
+def test_arraydataset_default_routing(monkeypatch):
+    """Unshuffled iteration routes through the native batcher by default and
+    is bit-identical (incl. fused Normalize) to the forced-NumPy path;
+    OT_VAE_NATIVE_LOADER=0 disables it entirely."""
     imgs, labs = _data(n=32, c=3)
-    ds = ArrayDataset(imgs, labs, Identity())
-    monkeypatch.setenv("OT_VAE_NATIVE_LOADER", "1")
-    native = list(ds.batches(8, shuffle=False, seed=3))
-    monkeypatch.delenv("OT_VAE_NATIVE_LOADER")
+    mean, std = (0.5, 0.4, 0.6), (0.2, 0.3, 0.25)
+    ds = ArrayDataset(imgs, labs, Normalize(mean, std))
+    monkeypatch.delenv("OT_VAE_NATIVE_LOADER", raising=False)
+    default = list(ds.batches(8, shuffle=False, seed=3))
+    assert getattr(ds, "_native_cache", None), "default should use native"
+    monkeypatch.setenv("OT_VAE_NATIVE_LOADER", "0")
     python = list(ds.batches(8, shuffle=False, seed=3))
-    assert len(native) == len(python) == 4
-    for (na, nl), (pa, pl) in zip(native, python):
+    assert len(default) == len(python) == 4
+    for (na, nl), (pa, pl) in zip(default, python):
         np.testing.assert_array_equal(na, pa)
         np.testing.assert_array_equal(nl, pl)
+
+
+def test_arraydataset_shuffled_stays_numpy_unless_opted_in(monkeypatch):
+    """Shuffled (train) iteration keeps the NumPy permutation stream unless
+    OT_VAE_NATIVE_LOADER=1 — the native Fisher–Yates stream differs and would
+    shift seeded e2e floors."""
+    imgs, labs = _data(n=32, c=1)
+    ds = ArrayDataset(imgs, labs, Identity())
+    monkeypatch.delenv("OT_VAE_NATIVE_LOADER", raising=False)
+    got = np.concatenate([b for b, _ in ds.batches(8, True, seed=3, epoch=1)])
+    rng = np.random.default_rng(3 + 1)
+    idx = np.arange(32)
+    rng.shuffle(idx)
+    np.testing.assert_array_equal(got, imgs[idx])
 
 
 def test_arraydataset_native_shuffled_covers_dataset(monkeypatch):
