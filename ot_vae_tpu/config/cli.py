@@ -83,6 +83,21 @@ def apply_links(cfg: Dict) -> Dict:
     cfg = copy.deepcopy(cfg)
     model_args = _get(cfg, "model", "init_args", default={})
 
+    # top-level precision: bf16 → network dtype=bfloat16 (activations bf16,
+    # params/optimizer stay f32 — the TPU mixed-precision recipe; reference:
+    # Lightning AMP flag `precision: 16`, configs/ddp.yaml:5)
+    prec = cfg.get("precision")
+    if prec in ("bf16", "bfloat16", 16, "16"):
+        import jax.numpy as jnp
+
+        for key in ("encoder", "decoder", "autoencoder",
+                    "autoregressive_decoder"):
+            node = model_args.get(key)
+            if isinstance(node, dict) and "class_path" in node:
+                _setdefault(node, "init_args", "dtype", value=jnp.bfloat16)
+    elif prec not in (None, "f32", "float32", 32, "32"):
+        raise ValueError(f"unknown precision {prec!r} (use bf16 or f32)")
+
     # data img size → ViT image_size (DadCLI: data.IMG_SIZE link)
     data_node = cfg.get("data")
     img_size = None

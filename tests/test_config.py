@@ -61,3 +61,34 @@ def test_vit_config_builds():
     model, dm, trainer = build(cfg)
     assert tuple(model.latent_size) == (1, 128)
     assert model.conditional
+
+
+def test_precision_link_threads_bf16_dtype():
+    """Top-level ``precision: bf16`` fills network dtype=bfloat16 without
+    touching user-set values (reference: Lightning AMP `precision: 16`,
+    configs/ddp.yaml:5)."""
+    import jax.numpy as jnp
+    import pytest
+
+    cfg = load_configs(["configs/vae/defaults.yaml"])
+    cfg["precision"] = "bf16"
+    linked = apply_links(cfg)
+    enc = linked["model"]["init_args"]["encoder"]["init_args"]
+    dec = linked["model"]["init_args"]["decoder"]["init_args"]
+    assert enc["dtype"] == jnp.bfloat16 and dec["dtype"] == jnp.bfloat16
+    cfg["data"]["init_args"]["synthetic_train"] = 64
+    cfg["data"]["init_args"]["synthetic_test"] = 32
+    model, _, _ = build(cfg)
+    assert model.net.encoder.dtype == jnp.bfloat16
+
+    # user-set dtype wins over the link
+    cfg2 = load_configs(["configs/vae/defaults.yaml"])
+    cfg2["precision"] = "bf16"
+    cfg2["model"]["init_args"]["encoder"].setdefault("init_args", {})[
+        "dtype"] = jnp.float32
+    linked2 = apply_links(cfg2)
+    assert linked2["model"]["init_args"]["encoder"]["init_args"][
+        "dtype"] == jnp.float32
+
+    with pytest.raises(ValueError):
+        apply_links({"precision": "fp8"})
