@@ -35,7 +35,6 @@ class InferenceEngine:
         checkpoint_path: Optional[str] = None,
         batch_sizes: Sequence[int] = (1, 8, 64),
         use_ema: bool = False,
-        donate: bool = False,
     ):
         from ot_vae_tpu.trainer.checkpoint import load_checkpoint
 
@@ -53,7 +52,7 @@ class InferenceEngine:
 
     # ------------------------------------------------------------ compile
 
-    def _get(self, kind: str, batch: int, sample_shape=None):
+    def _get(self, kind: str, batch: int):
         key = (kind, batch)
         if key in self._fns:
             return self._fns[key]
