@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from ot_vae_tpu.data.transforms import Identity
-from ot_vae_tpu.parallel.mesh import replicated, shard_batch
+from ot_vae_tpu.parallel.mesh import put_replicated, shard_batch
 from ot_vae_tpu.trainer.callbacks import Callback
 from ot_vae_tpu.trainer.state import TrainState
 
@@ -94,6 +94,7 @@ class Trainer:
         self.lr_threshold = lr_threshold
         self.min_lr = min_lr
         self.limit_batches = limit_batches
+        self.enable_progress_bar = enable_progress_bar
         self.profile_dir = profile_dir
         # cross-process metric-state reduction seam (reference: torchmetrics
         # dist_reduce_fx="sum" + sync_dist=True, model/base.py:215-220).
@@ -239,7 +240,7 @@ class Trainer:
         self._opt = model.optimizer()
         self.state = TrainState.create(model.variables, self._opt, model.ema_decay)
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.state = put_replicated(self.mesh, self.state)
         self._train_step = self._build_train_step(model)
         self._lr = float(model.learning_rate)
         self._plateau_best = None
@@ -271,7 +272,7 @@ class Trainer:
             ema_params=tree["ema_params"],
         )
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.state = put_replicated(self.mesh, self.state)
         model.variables = self.state.variables
         self.global_step = int(self.state.step)
         restored_lr = _find_lr(self.state.opt_state)
@@ -340,6 +341,14 @@ class Trainer:
                     {k: float(v) for k, v in logs.items()}, self.global_step
                 )
             self._hook("on_train_batch_end", model, outputs, dev_batch, batch_idx)
+            if self.enable_progress_bar and jax.process_index() == 0:
+                total = datamodule.steps_per_epoch("train")
+                print(f"\repoch {epoch + 1}/{self.max_epochs} "
+                      f"step {batch_idx + 1}/{total} "
+                      f"loss={float(logs.get('train/loss/total', float('nan'))):.4f}",
+                      end="", flush=True)
+        if self.enable_progress_bar and n and jax.process_index() == 0:
+            print()  # newline after the in-place progress line
         if profiling:
             jax.tree_util.tree_map(
                 lambda x: x.block_until_ready(), self.state.params
