@@ -5,8 +5,10 @@ from ot_vae_tpu.parallel.mesh import (
     DATA_AXIS,
     data_sharding,
     make_mesh,
+    put_replicated,
     replicated,
     shard_batch,
+    spans_processes,
 )
 from ot_vae_tpu.parallel.partitioning import (
     MODEL_AXIS,
@@ -34,9 +36,11 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",
+    "put_replicated",
     "data_sharding",
     "replicated",
     "shard_batch",
+    "spans_processes",
     "partition_params",
     "partition_spec_for",
 ]

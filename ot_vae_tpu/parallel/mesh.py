@@ -45,10 +45,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices of other JAX processes (pod /
+    multi-host training)."""
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with the batch axis sharded on
-    ``data`` (replaces the reference's DistributedSampler per-rank split)."""
+    ``data`` (replaces the reference's DistributedSampler per-rank split).
+
+    Multi-process meshes: each process passes ONLY its host-local rows
+    (shape [B/num_processes, ...]) and the result is the global [B, ...]
+    array — no host ever materializes the full batch."""
+    if spans_processes(mesh):
+        from ot_vae_tpu.parallel.multihost import host_local_batch_to_global
+
+        return host_local_batch_to_global(mesh, batch)
+
     def put(x):
         return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def put_replicated(mesh: Mesh, tree):
+    """Replicate a (process-identical) pytree over the mesh. Works on
+    multi-process meshes, where plain ``jax.device_put`` cannot target
+    non-addressable devices."""
+    if spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, P()
+        )
+    return jax.device_put(tree, replicated(mesh))

@@ -87,3 +87,97 @@ def test_two_process_distributed_runtime(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER{pid} OK" in out
+
+
+_TRAINER_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+from ot_vae_tpu.parallel import (
+    ProcessComm, global_mesh, initialize_distributed, per_host_slice,
+)
+assert initialize_distributed(coordinator_address=coordinator,
+                              num_processes=2, process_id=pid)
+assert jax.device_count() == 8
+
+import numpy as np
+from ot_vae_tpu.data import MNIST32
+from ot_vae_tpu.metrics import PSNR, MetricCollection
+from ot_vae_tpu.models import VAE
+from ot_vae_tpu.networks import CNN
+from ot_vae_tpu.priors import GaussianPrior
+from ot_vae_tpu.trainer import Trainer
+
+dm = MNIST32(train_batch_size=20, val_batch_size=20, test_batch_size=20,
+             seed=7, synthetic_train=160, synthetic_test=80)
+dm.setup()
+# per-host data feeding: every split holds only this process's contiguous
+# shard (the DistributedSampler equivalent)
+for split in ("train", "val", "test"):
+    ds = getattr(dm, f"{split}_dataset")
+    sl = per_host_slice(len(ds.images))
+    ds.images, ds.labels = ds.images[sl], ds.labels[sl]
+
+model = VAE(
+    metrics=MetricCollection({"psnr": PSNR()}),
+    encoder=CNN(1, 8, 32, 8, capacity=2, down_sample=True),
+    decoder=CNN(4, 1, 8, 32, capacity=2, up_sample=True),
+    prior=GaussianPrior(loss_coeff=0.1),
+)
+mesh = global_mesh()
+tr = Trainer(max_epochs=1, seed=7, mesh=mesh, log_every_n_steps=1000)
+tr.fit(model, dm)
+res = tr.test(model, dm)
+psnr = float(res["test/metrics/psnr"])
+
+# THE DDP invariant: replicated params stay bit-identical across processes
+comm = ProcessComm()
+leaves = jax.tree_util.tree_leaves(tr.state.params)
+local = np.concatenate([np.asarray(l).ravel() for l in leaves])
+gathered = comm._gather(local)            # [2, n_params]
+assert gathered.shape[0] == 2
+np.testing.assert_array_equal(gathered[0], gathered[1])
+
+# metrics are computed on the GLOBAL batch -> every process reports the same
+psnrs = comm._gather(np.asarray([psnr]))
+assert abs(float(psnrs[0]) - float(psnrs[1])) < 1e-6, psnrs
+assert np.isfinite(psnr) and psnr > 5.0, psnr
+print(f"TRAINER_WORKER{pid} OK psnr={psnr:.2f}")
+"""
+
+
+def test_two_process_trainer_fit(tmp_path):
+    """Full Trainer.fit over a mesh spanning two OS processes: per-host data
+    shards assemble into global batches (mesh.shard_batch multihost path),
+    params replicate via put_replicated, and the fitted params remain
+    bit-identical across processes — the DDP synchronization invariant the
+    reference delegates to Lightning and never tests (SURVEY §4)."""
+    worker = tmp_path / "trainer_worker.py"
+    worker.write_text(_TRAINER_WORKER)
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("trainer workers timed out")
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"TRAINER_WORKER{pid} OK" in out
