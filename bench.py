@@ -106,16 +106,17 @@ def _jax_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
     return out
 
 
-def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None):
+def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
+                      build=None, img_shape=(32, 32, 1)):
     """FULL train step (fwd + bwd + adam update) throughput, device-resident."""
     import jax
     import jax.numpy as jnp
     import optax
     from jax import lax
 
-    model = _build_model(dtype)
+    model = (build or _build_model)(dtype)
     xdtype = dtype or jnp.float32
-    batch = (jnp.zeros((batch_size, 32, 32, 1), xdtype),
+    batch = (jnp.zeros((batch_size, *img_shape), xdtype),
              jnp.zeros((batch_size,), jnp.int32))
     variables = dict(model.init_variables(jax.random.PRNGKey(0), batch))
     params = variables.pop("params")
@@ -147,7 +148,7 @@ def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None):
         return lax.fori_loop(0, inner, body, (params, opt_state, mutable))
 
     key = jax.random.PRNGKey(1)
-    x = jax.random.normal(key, (batch_size, 32, 32, 1), xdtype)
+    x = jax.random.normal(key, (batch_size, *img_shape), xdtype)
     out = train_n(params, opt_state, variables, x, key)
     jax.block_until_ready(out)
 
@@ -167,6 +168,39 @@ def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None):
         "achieved_tflop_s": tflops,
         # TPU v5e peak: 197 TFLOP/s bf16 (f32 throughput is ~half)
         "mfu_vs_bf16_peak": tflops / 197.0,
+    }
+
+
+def _build_big_model(dtype=None):
+    """FFHQ128-scale CNN VAE (3→512ch @128² down to 4², attention ≤16²) —
+    the MXU-bound regime the tiny MNIST model never reaches. Demonstrates
+    the framework's MFU ceiling on a production-sized workload."""
+    import jax.numpy as jnp
+
+    from ot_vae_tpu.models import VAE
+    from ot_vae_tpu.networks import CNN
+    from ot_vae_tpu.priors import GaussianPrior
+
+    kw = dict(dtype=dtype) if dtype is not None else {}
+    encoder = CNN(3, 512, 128, 4, capacity=64, down_sample=True,
+                  residual="add", **kw)
+    decoder = CNN(256, 3, 4, 128, capacity=64, up_sample=True,
+                  residual="add", **kw)
+    return VAE(metrics=None, encoder=encoder, decoder=decoder,
+               prior=GaussianPrior(loss_coeff=0.1))
+
+
+def _big_bench(repeats=5):
+    """Train-step MFU on the FFHQ128-scale model, f32 vs bf16."""
+    import jax.numpy as jnp
+
+    return {
+        "train_f32": _train_throughput(
+            batch_size=32, inner=5, repeats=repeats,
+            build=_build_big_model, img_shape=(128, 128, 3)),
+        "train_bf16": _train_throughput(
+            batch_size=32, inner=5, repeats=repeats, dtype=jnp.bfloat16,
+            build=_build_big_model, img_shape=(128, 128, 3)),
     }
 
 
@@ -259,7 +293,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--detail", action="store_true",
                         help="also write BENCH_DETAIL.json")
+    parser.add_argument("--big", action="store_true",
+                        help="also bench the FFHQ128-scale model (slow)")
     args = parser.parse_args()
+
+    if args.big:
+        big = _big_bench()
+        with open("BENCH_BIG.json", "w") as f:
+            json.dump(big, f, indent=2, default=str)
 
     eval_res = _jax_throughput()
     tpu_ips = eval_res["img_per_s"]
