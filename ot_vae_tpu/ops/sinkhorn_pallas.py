@@ -106,10 +106,17 @@ def sinkhorn_log_auto(
     max_iter: int = 1000,
     threshold: float = _STAB,
 ) -> jax.Array:
-    """Dispatch: fused Pallas kernel on TPU for large, small-batch problems
-    (measured 1.45× at 512², widening with size); the XLA ``lax.while_loop``
-    path wins for small or heavily batched plans, where its shared-iteration
-    batch parallelism beats the kernel's sequential per-instance grid."""
+    """Dispatch: fused Pallas kernel on TPU for large, small-batch problems;
+    the XLA ``lax.while_loop`` path for small or heavily batched plans, where
+    its shared-iteration batch parallelism beats the kernel's sequential
+    per-instance grid (measured batch32×128²: XLA 28.8 ms vs Pallas 33.0 ms).
+
+    Measured reality (TPU v5e, 200 iters, median of 7): both paths are
+    ~29 ms at 256², 512² AND 1024² — the fixed-point loop is bound by
+    sequential-iteration latency, not HBM bandwidth, so VMEM residency buys
+    only ~3-5% (256²: 27.9 vs 29.4 ms). The kernel is kept because it is
+    never slower inside this window and its advantage grows once per-iteration
+    work dominates iteration latency (plans ≥ ~2k² with few instances)."""
     N, M = C.shape[-2:]
     batch = int(np.prod(C.shape[:-2])) if C.ndim > 2 else 1
     on_tpu = jax.default_backend() == "tpu"
