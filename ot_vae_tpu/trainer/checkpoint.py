@@ -47,12 +47,16 @@ def save_checkpoint(path, state, model=None, metadata: Optional[dict] = None):
             "ema_params": state.ema_params,
         }
     ckptr.save(path, tree, force=True)
-    side = dict(metadata or {})
-    if model is not None:
-        side["inference_preprocess"] = to_spec(model.inference_preprocess)
-        side["inference_postprocess"] = to_spec(model.inference_postprocess)
-    with open(path / "sidecar.json", "w") as f:
-        json.dump(side, f)
+    # multi-process: every process participates in the orbax save (it
+    # coordinates internally over the jax.distributed runtime), but the JSON
+    # sidecar is plain file IO — primary-only to avoid write races
+    if jax.process_index() == 0:
+        side = dict(metadata or {})
+        if model is not None:
+            side["inference_preprocess"] = to_spec(model.inference_preprocess)
+            side["inference_postprocess"] = to_spec(model.inference_postprocess)
+        with open(path / "sidecar.json", "w") as f:
+            json.dump(side, f)
 
 
 def load_checkpoint(path, model=None):

@@ -145,6 +145,25 @@ np.testing.assert_array_equal(gathered[0], gathered[1])
 psnrs = comm._gather(np.asarray([psnr]))
 assert abs(float(psnrs[0]) - float(psnrs[1])) < 1e-6, psnrs
 assert np.isfinite(psnr) and psnr > 5.0, psnr
+
+# multi-process checkpoint round-trip: every process joins the orbax save
+# (it coordinates over the jax.distributed runtime; the JSON sidecar is
+# written by process 0 only), then restores and compares bit-exactly
+ckpt_dir = sys.argv[3]
+from ot_vae_tpu.trainer import load_checkpoint, save_checkpoint
+save_checkpoint(ckpt_dir, tr.state, model=model)
+model2 = VAE(
+    metrics=None,
+    encoder=CNN(1, 8, 32, 8, capacity=2, down_sample=True),
+    decoder=CNN(4, 1, 8, 32, capacity=2, up_sample=True),
+    prior=GaussianPrior(loss_coeff=0.1),
+)
+tree, side = load_checkpoint(ckpt_dir, model2)
+for x, y in zip(jax.tree_util.tree_leaves(tr.state.params),
+                jax.tree_util.tree_leaves(tree["params"])):
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+assert "inference_preprocess" in side
+
 print(f"TRAINER_WORKER{pid} OK psnr={psnr:.2f}")
 """
 
@@ -157,13 +176,15 @@ def test_two_process_trainer_fit(tmp_path):
     reference delegates to Lightning and never tests (SURVEY §4)."""
     worker = tmp_path / "trainer_worker.py"
     worker.write_text(_TRAINER_WORKER)
+    ckpt_dir = tmp_path / "ckpt"  # shared across both processes
     coordinator = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = ""
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coordinator, str(pid)],
+            [sys.executable, str(worker), coordinator, str(pid),
+             str(ckpt_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
