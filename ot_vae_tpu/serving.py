@@ -27,6 +27,12 @@ class InferenceEngine:
     :param batch_sizes: batch sizes to pre-compile (requests are padded up to
                         the nearest compiled size — static shapes for XLA)
     :param use_ema: serve the EMA shadow weights when present
+    :param mesh: optional ``jax.sharding.Mesh`` — inputs are sharded on the
+                 ``data`` axis and parameters replicated, so one request fans
+                 out over all chips (the reference's "distributed inference"
+                 via ``Trainer(gpus=..., strategy=...)`` + ``predict``,
+                 reference README.md). Batch sizes should be divisible by the
+                 data-axis size.
     """
 
     def __init__(
@@ -35,6 +41,7 @@ class InferenceEngine:
         checkpoint_path: Optional[str] = None,
         batch_sizes: Sequence[int] = (1, 8, 64),
         use_ema: bool = False,
+        mesh=None,
     ):
         from ot_vae_tpu.trainer.checkpoint import load_checkpoint
 
@@ -47,7 +54,13 @@ class InferenceEngine:
             raise ValueError("model has no variables — pass a checkpoint_path")
         model.inference = True
         self.batch_sizes = tuple(sorted(batch_sizes))
-        self._variables = jax.device_put(model.variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from ot_vae_tpu.parallel.mesh import put_replicated
+
+            self._variables = put_replicated(mesh, model.variables)
+        else:
+            self._variables = jax.device_put(model.variables)
         self._fns: Dict[Tuple[str, int], callable] = {}
 
     # ------------------------------------------------------------ compile
@@ -81,6 +94,10 @@ class InferenceEngine:
         if n < bucket:
             pad = np.zeros((bucket - n, *x.shape[1:]), x.dtype)
             x = np.concatenate([x, pad])
+        if self.mesh is not None:
+            from ot_vae_tpu.parallel.mesh import data_sharding
+
+            return jax.device_put(x, data_sharding(self.mesh, x.ndim)), n
         return jnp.asarray(x), n
 
     # ------------------------------------------------------------ serving API

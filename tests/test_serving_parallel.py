@@ -58,3 +58,27 @@ def test_partition_params_2d_mesh():
     a = jax.tree_util.tree_leaves(model.variables["params"])[0]
     b = jax.tree_util.tree_leaves(placed)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_inference_engine_sharded_over_mesh(rng):
+    """InferenceEngine(mesh=...) fans one request over the data axis (the
+    reference's distributed-inference path: Trainer(gpus=..., strategy=...)
+    + predict, reference README.md) — outputs match the unsharded engine."""
+    from ot_vae_tpu.data.transforms import Identity
+
+    model = _tiny_vae()
+    model.inference_preprocess = Identity()
+    model.inference_postprocess = Identity()
+    single = InferenceEngine(model, batch_sizes=(8,))
+    mesh = make_mesh(jax.devices()[:8], axis_names=("data",))
+    sharded = InferenceEngine(model, batch_sizes=(8,), mesh=mesh)
+
+    x = rng.random((6, 16, 16, 1)).astype(np.float32)  # pads 6 -> 8
+    r1 = single.reconstruct(x, key=jax.random.PRNGKey(3))
+    r2 = sharded.reconstruct(x, key=jax.random.PRNGKey(3))
+    assert r2.shape == x.shape
+    np.testing.assert_allclose(r1, r2, atol=1e-5)
+    z = sharded.encode(x, key=jax.random.PRNGKey(4))
+    assert z.shape == (6, 4, 4, 8)
+    y = sharded.decode(z)
+    assert y.shape == (6, 16, 16, 1)
