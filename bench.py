@@ -204,6 +204,39 @@ def _big_bench(repeats=5):
     }
 
 
+def _serving_bench(repeats=20):
+    """InferenceEngine request latency (pre-compiled buckets, raw→raw)."""
+    import jax
+    import numpy as np
+
+    from ot_vae_tpu.data.transforms import Identity
+    from ot_vae_tpu.serving import InferenceEngine
+
+    model = _build_model()
+    import jax.numpy as jnp
+
+    batch = (jnp.zeros((8, 32, 32, 1), jnp.float32),
+             jnp.zeros((8,), jnp.int32))
+    model.variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    model.inference_preprocess = Identity()
+    model.inference_postprocess = Identity()
+    eng = InferenceEngine(model, batch_sizes=(1, 64)).warmup()
+
+    out = {}
+    for bs in (1, 64):
+        x = np.random.rand(bs, 32, 32, 1).astype(np.float32)
+        eng.reconstruct(x)  # compile the reconstruct path for this bucket
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            eng.reconstruct(x)
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        out[f"reconstruct_b{bs}_p50_ms"] = med * 1e3
+        out[f"reconstruct_b{bs}_img_per_s"] = bs / med
+    return out
+
+
 def _ot_core_bench(repeats=5):
     """sqrtm (eigh vs Newton–Schulz) and Sinkhorn (XLA vs Pallas) on-device."""
     import jax
@@ -319,6 +352,7 @@ def main():
             "train_f32": _train_throughput(),
             "train_bf16": _train_throughput(dtype=jnp.bfloat16),
             "ot_core": _ot_core_bench(),
+            "serving": _serving_bench(),
             "torch_cpu_eval_img_per_s": cpu_ips,
         }
         for k in ("eval_f32", "eval_bf16"):
