@@ -5,14 +5,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``python bench.py --detail`` additionally writes BENCH_DETAIL.json with:
 train-step throughput (fwd+bwd+optimizer), XLA-counted FLOPs → achieved
-TFLOP/s and MFU, bf16 vs f32 throughput, and OT-core kernel benches
-(sqrtm eigh vs Newton–Schulz, Sinkhorn XLA vs Pallas) — VERDICT r1 item 7.
+TFLOP/s and MFU, bf16 vs f32 throughput, serving latency, and OT-core kernel
+benches (sqrtm eigh vs Newton–Schulz, Sinkhorn XLA vs Pallas).
 
-Methodology: every measurement uses a device-resident ``lax.fori_loop`` inner
-loop (host dispatch otherwise dominates: 38k vs 4.7M img/s on the same model)
-and reports the median of ``repeats`` outer timings; the round-1 3.27M vs
-4.68M img/s spread was run-to-run variance of single-shot timings through the
-remote-TPU tunnel, which the median + spread fields make visible.
+Methodology (hard-won, in order of discovery):
+1. Device-resident ``lax.fori_loop`` inner loop — per-call host dispatch
+   otherwise dominates.
+2. Fresh RNG-derived input per iteration — a constant input lets XLA hoist
+   the encoder out of the loop (round-1 defect).
+3. **Sync by VALUE FETCH, never ``block_until_ready``** — on the remote-TPU
+   (axon tunnel) backend, ``block_until_ready`` can return before the work
+   executes when the service queue is busy, inflating throughput by 100×
+   (round-1/2 defect: 3.27M "img/s" recorded where the true number is ~45k).
+   Every timed call here ends in ``float(result)``, the only reliable
+   barrier, with the inner loop sized so the ~30 ms fetch round-trip is <2%
+   of the measurement.
+4. Fresh key per timed call so no call repeats a previous call's inputs.
 """
 import argparse
 import json
@@ -22,15 +30,17 @@ import time
 import numpy as np
 
 
-def _median_time(fn, repeats=5):
-    """Median wall-clock of fn() (fn must block); returns (median, spread)."""
+def _timed_calls(call, inner_images, repeats=3):
+    """call(j) must END in a value fetch. Returns (img/s median, spread)."""
+    call(-1)  # warm: compile + drain any queue backlog
     times = []
-    for _ in range(repeats):
+    for j in range(repeats):
         t0 = time.perf_counter()
-        fn()
+        call(j)
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
-    return med, (min(times), max(times))
+    return inner_images / med, (inner_images / max(times),
+                                inner_images / min(times))
 
 
 def _flops_of(jitted, *args):
@@ -59,10 +69,9 @@ def _build_model(dtype=None):
                prior=GaussianPrior(loss_coeff=0.1))
 
 
-def _jax_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
+def _jax_throughput(batch_size=250, inner=200, repeats=3, dtype=None,
                     with_flops=False):
-    """Encode+decode throughput with a device-resident inner loop — measures
-    the chip, not host dispatch latency."""
+    """Encode+decode throughput: device-resident loop, value-fetch sync."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -88,25 +97,22 @@ def _jax_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
         return lax.fori_loop(0, inner, body, jnp.zeros((), jnp.float32))
 
     key = jax.random.PRNGKey(1)
-    outer = 5  # pipelined calls per timing: amortizes host dispatch
-    fwd_n(variables, key).block_until_ready()  # compile
 
-    def run():
-        outs = [fwd_n(variables, jax.random.fold_in(key, 1000 + j))
-                for j in range(outer)]
-        outs[-1].block_until_ready()
+    def call(j):  # ends in float(): the only reliable sync on this backend
+        return float(fwd_n(variables, jax.random.fold_in(key, 1000 + j)))
 
-    med, spread = _median_time(run, repeats)
-    n_img = batch_size * inner * outer
-    out = {"img_per_s": n_img / med,
-           "spread_img_per_s": (n_img / spread[1], n_img / spread[0])}
+    ips, spread = _timed_calls(call, batch_size * inner, repeats)
+    out = {"img_per_s": ips, "spread_img_per_s": spread}
     if with_flops:
-        out["flops_per_img"] = _flops_of(fwd_n, variables, key) / (
-            batch_size * inner)
+        # FLOPs from a single un-looped forward (cost_analysis of looped
+        # executables under-reports on this backend)
+        single = jax.jit(lambda v, x, k: model.net.apply(v, x, 0, k, False))
+        x = jnp.zeros(shape, xdtype)
+        out["flops_per_img"] = _flops_of(single, variables, x, key) / batch_size
     return out
 
 
-def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
+def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
                       build=None, img_shape=(32, 32, 1)):
     """FULL train step (fwd + bwd + adam update) throughput, device-resident."""
     import jax
@@ -123,9 +129,10 @@ def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
     opt = optax.adam(1e-3)  # plain adam: same math, fori_loop-friendly state
     opt_state = opt.init(params)
 
-    def one_step(carry, i, x, key):
+    def one_step(carry, i, key):
         params, opt_state, mutable = carry
         k = jax.random.fold_in(key, i)
+        x = jax.random.normal(k, (batch_size, *img_shape), xdtype)
         pbatch = model.batch_preprocess((x, jnp.zeros((x.shape[0],), jnp.int32)),
                                         k, train=True)
 
@@ -141,29 +148,36 @@ def _train_throughput(batch_size=250, inner=20, repeats=5, dtype=None,
         return (params, opt_state, {**mutable, **mutated}), loss
 
     @jax.jit
-    def train_n(params, opt_state, mutable, x, key):
+    def train_n(params, opt_state, mutable, key):
         def body(i, carry):
-            carry, _ = one_step(carry, i, x, key)
+            carry, _ = one_step(carry, i, key)
             return carry
-        return lax.fori_loop(0, inner, body, (params, opt_state, mutable))
+        carry = lax.fori_loop(0, inner, body, (params, opt_state, mutable))
+        # a scalar that depends on EVERY final parameter: forces the whole
+        # chain to execute and keeps the fetch (= the sync point) tiny
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b.astype(jnp.float32)), carry[0],
+            jnp.zeros((), jnp.float32))
 
     key = jax.random.PRNGKey(1)
-    x = jax.random.normal(key, (batch_size, *img_shape), xdtype)
-    out = train_n(params, opt_state, variables, x, key)
-    jax.block_until_ready(out)
 
-    med, spread = _median_time(
-        lambda: jax.block_until_ready(train_n(params, opt_state, variables, x, key)),
-        repeats,
-    )
-    ips = batch_size * inner / med
-    flops = _flops_of(train_n, params, opt_state, variables, x, key)
-    flops_per_img = flops / (batch_size * inner)
-    tflops = flops / med / 1e12
+    def call(j):
+        return float(train_n(params, opt_state, variables,
+                             jax.random.fold_in(key, 2000 + j)))
+
+    ips, spread = _timed_calls(call, batch_size * inner, repeats)
+    # FLOPs from a single un-looped train step (cost_analysis of looped
+    # executables under-reports on this backend). The reduction over the
+    # UPDATED params keeps the backward + optimizer alive under DCE.
+    single = jax.jit(lambda p, o, m, k: jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
+        one_step((p, o, m), 0, k)[0][0], jnp.zeros((), jnp.float32)))
+    flops = _flops_of(single, params, opt_state, variables, key)
+    flops_per_img = flops / batch_size
+    tflops = flops_per_img * ips / 1e12
     return {
         "img_per_s": ips,
-        "spread_img_per_s": (batch_size * inner / spread[1],
-                             batch_size * inner / spread[0]),
+        "spread_img_per_s": spread,
         "flops_per_img": flops_per_img,
         "achieved_tflop_s": tflops,
         # TPU v5e peak: 197 TFLOP/s bf16 (f32 throughput is ~half)
@@ -190,16 +204,16 @@ def _build_big_model(dtype=None):
                prior=GaussianPrior(loss_coeff=0.1))
 
 
-def _big_bench(repeats=5):
+def _big_bench(repeats=3):
     """Train-step MFU on the FFHQ128-scale model, f32 vs bf16."""
     import jax.numpy as jnp
 
     return {
         "train_f32": _train_throughput(
-            batch_size=32, inner=5, repeats=repeats,
+            batch_size=32, inner=20, repeats=repeats,
             build=_build_big_model, img_shape=(128, 128, 3)),
         "train_bf16": _train_throughput(
-            batch_size=32, inner=5, repeats=repeats, dtype=jnp.bfloat16,
+            batch_size=32, inner=20, repeats=repeats, dtype=jnp.bfloat16,
             build=_build_big_model, img_shape=(128, 128, 3)),
     }
 
@@ -237,10 +251,14 @@ def _serving_bench(repeats=20):
     return out
 
 
-def _ot_core_bench(repeats=5):
-    """sqrtm (eigh vs Newton–Schulz) and Sinkhorn (XLA vs Pallas) on-device."""
+def _ot_core_bench(repeats=3, inner=50):
+    """sqrtm (eigh vs Newton–Schulz) and Sinkhorn (XLA vs Pallas) on-device.
+
+    Each measurement runs ``inner`` perturbed instances inside a fori_loop
+    and fetches a scalar (value-fetch sync; per-op time = call / inner)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from ot_vae_tpu.ops.matrix import sqrtm, sqrtm_ns
     from ot_vae_tpu.ops.w2 import sinkhorn_log
@@ -248,34 +266,45 @@ def _ot_core_bench(repeats=5):
     results = {}
     key = jax.random.PRNGKey(0)
 
+    def loop_ms(op, x0, n=inner):
+        """median per-op ms of op(x) over n perturbed inputs, fetch-synced."""
+        @jax.jit
+        def run(x, s):
+            def body(i, acc):
+                out = op(x * (1.0 + 1e-6 * (s + i)))
+                return acc + jnp.sum(out)
+            return lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
+
+        float(run(x0, jnp.float32(-1.0)))  # warm + drain
+        times = []
+        for j in range(repeats):
+            t0 = time.perf_counter()
+            float(run(x0, jnp.float32(j)))
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times) * 1e3 / n
+
     # batched SPD sqrtm: 64 × 128×128
     m = jax.random.normal(key, (64, 128, 128), jnp.float32)
     spd = m @ jnp.swapaxes(m, -1, -2) + 128 * jnp.eye(128)
-    for name, fn in (("sqrtm_eigh", sqrtm), ("sqrtm_newton_schulz", sqrtm_ns)):
-        j = jax.jit(fn)
-        j(spd).block_until_ready()
-        med, _ = _median_time(lambda j=j: j(spd).block_until_ready(), repeats)
-        results[f"{name}_64x128_ms"] = med * 1e3
+    results["sqrtm_eigh_64x128_ms"] = loop_ms(sqrtm, spd)
+    results["sqrtm_newton_schulz_64x128_ms"] = loop_ms(sqrtm_ns, spd)
 
-    # Sinkhorn 512×512 log-domain
+    # Sinkhorn 512×512 log-domain (the op is ~29 ms, so fewer instances)
     ka, kb = jax.random.split(key)
     a = jax.random.normal(ka, (512, 16))
     b = jax.random.normal(kb, (512, 16))
     cost = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, -1)
     unif = jnp.full((512,), 1.0 / 512)
 
-    j_xla = jax.jit(lambda c: sinkhorn_log(unif, unif, c, 1.0, max_iter=200))
-    jax.block_until_ready(j_xla(cost))
-    med, _ = _median_time(lambda: jax.block_until_ready(j_xla(cost)), repeats)
-    results["sinkhorn_xla_512_ms"] = med * 1e3
+    results["sinkhorn_xla_512_ms"] = loop_ms(
+        lambda c: sinkhorn_log(unif, unif, c, 1.0, max_iter=200), cost, n=3)
     try:
         from ot_vae_tpu.ops.sinkhorn_pallas import sinkhorn_log_pallas
 
-        j_pl = jax.jit(lambda c: sinkhorn_log_pallas(
-            unif[None], unif[None], c[None], 1.0, max_iter=200))
-        jax.block_until_ready(j_pl(cost))
-        med, _ = _median_time(lambda: jax.block_until_ready(j_pl(cost)), repeats)
-        results["sinkhorn_pallas_512_ms"] = med * 1e3
+        results["sinkhorn_pallas_512_ms"] = loop_ms(
+            lambda c: sinkhorn_log_pallas(
+                unif[None], unif[None], c[None], 1.0, max_iter=200),
+            cost, n=3)
     except Exception as e:
         results["sinkhorn_pallas_512_ms"] = f"unavailable: {e}"
     return results

@@ -48,8 +48,11 @@ def test_sqrtm_newton_schulz(rng):
     ref_isqrt = np.asarray(invsqrtm(jnp.asarray(cov)))
     ns_sqrt = np.asarray(sqrtm_ns(jnp.asarray(cov), num_iters=30))
     ns_isqrt = np.asarray(invsqrtm_ns(jnp.asarray(cov), num_iters=30))
-    np.testing.assert_allclose(ns_sqrt, ref_sqrt, atol=1e-6)
-    np.testing.assert_allclose(ns_isqrt, ref_isqrt, atol=1e-5)
+    # atol reflects the deliberate 1e-6 relative spectrum floor inside the
+    # NS iteration (NaN-robustness for near-singular product matrices —
+    # the analog of the eigh paths' eigenvalue clamp)
+    np.testing.assert_allclose(ns_sqrt, ref_sqrt, atol=1e-4)
+    np.testing.assert_allclose(ns_isqrt, ref_isqrt, atol=1e-3)
 
 
 def test_is_pd_min_eig(rng):
@@ -126,3 +129,57 @@ def test_streaming_mean_cov_diag(rng):
     mean, var = mean_cov(s1, s2, len(z), diag=True)
     np.testing.assert_allclose(np.asarray(mean), z.mean(0), atol=1e-10)
     np.testing.assert_allclose(np.asarray(var), z.var(0), atol=1e-10)
+
+
+def test_sqrtm_method_ns_matches_eigh_realistic_conditioning():
+    """Newton-Schulz (method='ns', the TPU auto-default) vs the eigh path in
+    f32 at kappa=1e4 — the conditioning regime shrinkage-stabilized transport
+    covariances live in (BENCH_DETAIL.md: NS is 52x faster on TPU)."""
+    import numpy as np
+
+    from ot_vae_tpu.ops.matrix import invsqrtm, sqrtm, sqrtm_and_invsqrtm
+
+    rng = np.random.default_rng(3)
+    d = 96
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    eigs = np.geomspace(1e-4, 1.0, d)
+    a = jnp.asarray((q * eigs) @ q.T, jnp.float32)
+
+    s_ref = sqrtm(a, method="eigh")
+    s_ns = sqrtm(a, method="ns")
+    np.testing.assert_allclose(np.asarray(s_ns), np.asarray(s_ref),
+                               atol=2e-4, rtol=1e-3)
+    i_ref = invsqrtm(a, method="eigh")
+    i_ns = invsqrtm(a, method="ns")
+    rel = (np.linalg.norm(np.asarray(i_ns - i_ref))
+           / np.linalg.norm(np.asarray(i_ref)))
+    # ~0.7% at kappa=1e4: the NS spectrum floor shifts the smallest
+    # eigenvalues — why invsqrtm's DEFAULT stays eigh (opt-in ns)
+    assert rel < 2e-2, rel
+    both = sqrtm_and_invsqrtm(a, method="ns")
+    np.testing.assert_allclose(np.asarray(both[0]), np.asarray(s_ns))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sqrtm(a, method="cholesky")
+
+
+def test_sqrtm_ns_singular_input_finite():
+    """The NS sqrt is robust to exactly-singular inputs (null-space stays
+    zero); the invsqrt stays finite (like the eigh path's clamped 1/sqrt(eps))
+    — the degenerate-covariance probe of the transport operators."""
+    import numpy as np
+
+    from ot_vae_tpu.ops.matrix import sqrtm, sqrtm_and_invsqrtm
+
+    d = 32
+    v = np.zeros((d,), np.float32)
+    v[: d // 2] = np.linspace(0.5, 2.0, d // 2)  # half the spectrum is zero
+    a = jnp.asarray(np.diag(v))
+    s = sqrtm(a, method="ns")
+    assert np.all(np.isfinite(np.asarray(s)))
+    # zero eigendirections land at sqrt(1e-6*norm) ~ 2e-3 (spectrum floor)
+    np.testing.assert_allclose(np.asarray(s), np.diag(np.sqrt(v)), atol=5e-3)
+    _, isq = sqrtm_and_invsqrtm(a, method="ns")
+    assert np.all(np.isfinite(np.asarray(isq)))
