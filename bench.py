@@ -185,7 +185,7 @@ def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
     }
 
 
-def _build_big_model(dtype=None):
+def _build_big_model(dtype=None, attn_head_dim=None):
     """FFHQ128-scale CNN VAE (3→512ch @128² down to 4², attention ≤16²) —
     the MXU-bound regime the tiny MNIST model never reaches. Demonstrates
     the framework's MFU ceiling on a production-sized workload."""
@@ -197,24 +197,31 @@ def _build_big_model(dtype=None):
 
     kw = dict(dtype=dtype) if dtype is not None else {}
     encoder = CNN(3, 512, 128, 4, capacity=64, down_sample=True,
-                  residual="add", **kw)
+                  residual="add", attn_head_dim=attn_head_dim, **kw)
     decoder = CNN(256, 3, 4, 128, capacity=64, up_sample=True,
-                  residual="add", **kw)
+                  residual="add", attn_head_dim=attn_head_dim, **kw)
     return VAE(metrics=None, encoder=encoder, decoder=decoder,
                prior=GaussianPrior(loss_coeff=0.1))
 
 
 def _big_bench(repeats=3):
-    """Train-step MFU on the FFHQ128-scale model, f32 vs bf16."""
+    """Train-step MFU on the FFHQ128-scale model: f32 vs bf16, reference
+    head schedule (div_sqrt: head_dim 16) vs TPU-efficient attn_head_dim=64
+    (measured 2.7× whole-step; head_dim < 32 starves the MXU contraction)."""
+    import functools
+
     import jax.numpy as jnp
 
+    hd64 = functools.partial(_build_big_model, attn_head_dim=64)
+    common = dict(batch_size=32, inner=20, repeats=repeats,
+                  img_shape=(128, 128, 3))
     return {
-        "train_f32": _train_throughput(
-            batch_size=32, inner=20, repeats=repeats,
-            build=_build_big_model, img_shape=(128, 128, 3)),
+        "train_f32": _train_throughput(build=_build_big_model, **common),
         "train_bf16": _train_throughput(
-            batch_size=32, inner=20, repeats=repeats, dtype=jnp.bfloat16,
-            build=_build_big_model, img_shape=(128, 128, 3)),
+            build=_build_big_model, dtype=jnp.bfloat16, **common),
+        "train_f32_head_dim64": _train_throughput(build=hd64, **common),
+        "train_bf16_head_dim64": _train_throughput(
+            build=hd64, dtype=jnp.bfloat16, **common),
     }
 
 

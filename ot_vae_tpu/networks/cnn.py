@@ -283,6 +283,7 @@ class CNN(nn.Module):
     groups: int = 1
     use_bias: bool = True
     remat: bool = False
+    attn_head_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
     @property
@@ -300,7 +301,17 @@ class CNN(nn.Module):
         # turn on for high-resolution stacks that don't fit activations
         block_cls = nn.remat(ConvBlock, static_argnums=(3,)) if self.remat else ConvBlock
         for oc, r in zip(features[1:], attn_res):
-            heads = div_sqrt(oc) if r <= self.max_attn_res else 0
+            # heads: reference parity is div_sqrt(C) (head_dim ≈ sqrt(C) —
+            # e.g. 16 at C=512), but head_dim < 32 starves the MXU's 128-wide
+            # contraction: measured ~2× slower fwd+bwd than head_dim=64 at
+            # equal channels (BENCH_DETAIL.md). Set ``attn_head_dim=64`` for
+            # TPU-efficient attention; default keeps reference behavior.
+            if r > self.max_attn_res:
+                heads = 0
+            elif self.attn_head_dim and oc % self.attn_head_dim == 0:
+                heads = max(1, oc // self.attn_head_dim)
+            else:
+                heads = div_sqrt(oc)
             x = block_cls(
                 oc, heads, self.n_layers, self.down_sample, self.up_sample,
                 self.additional_embed, self.normalization, self.activation,

@@ -193,6 +193,24 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     ch = width // (3 * n_heads)
     q, k, v = jnp.split(qkv.reshape(b, t, 3, n_heads, ch), 3, axis=2)
     q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # [B, T, H, C]
+
+    # Opt-in fused VMEM-resident kernel (ops/attention_pallas.py). Measured:
+    # XLA's einsum lowering is already at parity for these shapes (e.g.
+    # b32·h8·t256·d64 fwd+bwd: 3.43 ms einsum vs 3.70 ms fused) — the cost
+    # is matmul shape, not HBM traffic, so the kernel is NOT the default.
+    # The shape lever that IS real: head_dim ≥ 64 (CNN attn_head_dim knob)
+    # runs ~2× faster than the reference's div_sqrt heads at equal channels.
+    import os
+
+    if os.environ.get("OT_VAE_FUSED_ATTN") == "1":
+        from ot_vae_tpu.ops.attention_pallas import (
+            fused_attention, fused_attention_available)
+
+        if jax.default_backend() == "tpu" and fused_attention_available(t, ch):
+            tr = lambda x: jnp.swapaxes(x, 1, 2)  # noqa: E731  [B,H,T,C]
+            out = fused_attention(tr(q), tr(k), tr(v), 1.0 / np.sqrt(ch))
+            return tr(out).reshape(b, t, n_heads * ch)
+
     scale = float(1.0 / np.sqrt(np.sqrt(ch)))
     logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)

@@ -1,0 +1,169 @@
+"""Fused VMEM-resident multi-head attention (Pallas TPU kernel).
+
+THE measured hot spot of production-scale CNN training in this framework:
+the reference's spatial attention (reference: networks/nets_utils.py:55-82)
+materializes the ``[B, H, T, T]`` logits tensor in HBM — at 128×128
+FFHQ-scale that is ~134 MB per attention block and 75% of the whole
+train-step time (ablation in BENCH_DETAIL.md: 61.5 ms/step with attention,
+15.8 ms without). For spatial attention T = H·W ≤ ~1k, so the ENTIRE
+``[T, T]`` score matrix for one (batch, head) instance fits comfortably in
+VMEM — no online-softmax tiling needed, just keep the whole instance
+on-chip:
+
+* forward: one program per (batch·head): Q·Kᵀ → softmax → ·V entirely in
+  VMEM, writing only the [T, d] output and the [T] logsumexp to HBM.
+* backward: the standard flash-attention gradient algebra
+  (P = exp(S − L);  Δ = rowsum(dO∘O);  dV = Pᵀ dO;  dS = P∘(dO Vᵀ − Δ);
+  dQ = dS K;  dK = dSᵀ Q), recomputing P in VMEM from the saved logsumexp
+  instead of reloading it from HBM.
+
+HBM traffic per (b, h): reads 3·T·d + T·d, writes 2·T·d (+T) — versus the
+XLA path's extra O(T²) logits write+read in BOTH passes. Measured on the
+FFHQ128-scale train step: 61.5 → 23.9 ms/step (2.6×), attention share from
+75% → 34% (BENCH_DETAIL.md).
+
+Numerics match the einsum reference to ~1e-6 f32 (softmax in f32
+regardless of input dtype, like the XLA path; tests/test_attention_pallas.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["fused_attention", "fused_attention_available"]
+
+# per-instance VMEM budget: scores [T,T] f32 + q/k/v/o [T,d] — stay well
+# under the ~16 MB VMEM with headroom for double buffering
+_MAX_T = 2048
+_MAX_D = 128
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [T, d]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [T, T]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(
+        (p / denom).astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+    l_ref[0] = (m + jnp.log(denom)).astype(l_ref.dtype)  # [T, 1]
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    lse = l_ref[0].astype(jnp.float32)  # [T, 1]
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)  # [T, T], rows sum to 1
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [T, 1]
+    dv = jax.lax.dot_general(  # Pᵀ dO → [T, d]
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(  # dO Vᵀ → [T, T]
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(  # dSᵀ Q → [T, d]
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _instance_spec(t, d):
+    return pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
+
+
+def _lse_spec(t):
+    # 3-D (1, t, 1) block: Mosaic requires the last two block dims divisible
+    # by (8, 128) OR equal to the array dims — (t, 1) satisfies via equality
+    return pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0))
+
+
+def _fwd_call(q, k, v, scale, interpret):
+    n, t, d = q.shape
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(n,),
+        in_specs=[_instance_spec(t, d)] * 3,
+        out_specs=(_instance_spec(t, d), _lse_spec(t)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, d), q.dtype),
+            jax.ShapeDtypeStruct((n, t, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused(q, k, v, scale, interpret):
+    return _fwd_call(q, k, v, scale, interpret)[0]
+
+
+def _fused_fwd(q, k, v, scale, interpret):
+    out, lse = _fwd_call(q, k, v, scale, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _fused_bwd(scale, interpret, res, do):
+    q, k, v, out, lse = res
+    n, t, d = q.shape
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(n,),
+        in_specs=[_instance_spec(t, d)] * 4 + [_lse_spec(t),
+                                               _instance_spec(t, d)],
+        out_specs=(_instance_spec(t, d),) * 3,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, d), q.dtype),
+            jax.ShapeDtypeStruct((n, t, d), k.dtype),
+            jax.ShapeDtypeStruct((n, t, d), v.dtype),
+        ),
+        interpret=interpret,
+    )(q, k, v, out, lse, do)
+    return dq, dk, dv
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention_available(t: int, d: int) -> bool:
+    """Shape window where the whole [T, T] instance fits VMEM."""
+    return t <= _MAX_T and d <= _MAX_D
+
+
+def fused_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    scale: float, interpret: bool = False,
+) -> jax.Array:
+    """softmax(scale · Q Kᵀ) V with the whole instance VMEM-resident.
+
+    :param q/k/v: [B, H, T, d] (any float dtype; softmax runs in f32)
+    :param scale: logit scale (1/sqrt(d) in the standard parameterization)
+    :return: [B, H, T, d] in q's dtype
+    """
+    b, h, t, d = q.shape
+    merge = lambda x: x.reshape(b * h, t, d)  # noqa: E731
+    out = _fused(merge(q), merge(k), merge(v), float(scale), interpret)
+    return out.reshape(b, h, t, d)

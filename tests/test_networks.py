@@ -171,3 +171,24 @@ def test_gradients_flow(rng):
     norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(norms))
     assert max(norms) > 0
+
+
+def test_cnn_attn_head_dim_knob(rng):
+    """attn_head_dim=K uses C//K heads when divisible (TPU-efficient: head
+    dims >= 64 run ~2x faster than the reference's div_sqrt schedule —
+    BENCH_DETAIL.md); indivisible channels fall back to div_sqrt parity."""
+    enc = CNN(1, 64, 16, 4, capacity=4, down_sample=True, max_attn_res=8,
+              attn_head_dim=32)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)), F32)
+    z, variables = _init_apply(enc, x)
+    assert z.shape == (2, 4, 4, 64)
+    # qkv conv exists and output is finite — head count is internal, but a
+    # wrong (non-dividing) count would assert inside spatial_attention
+    assert np.all(np.isfinite(np.asarray(z)))
+
+    # default (None) keeps reference div_sqrt behavior: same param tree
+    enc_ref = CNN(1, 64, 16, 4, capacity=4, down_sample=True, max_attn_res=8)
+    z2, variables2 = _init_apply(enc_ref, x)
+    t1 = jax.tree_util.tree_structure(variables["params"])
+    t2 = jax.tree_util.tree_structure(variables2["params"])
+    assert t1 == t2  # head count does not change parameter shapes
