@@ -28,11 +28,9 @@ regardless of input dtype, like the XLA path; tests/test_attention_pallas.py).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 __all__ = ["fused_attention", "fused_attention_available"]
