@@ -1,0 +1,62 @@
+"""Round-3 regression tests: fixes flagged by the round-2 review.
+
+Covers the min-mode top-k checkpoint admission bug (VERDICT r2 Weak #2 —
+reference semantics: Lightning ModelCheckpoint, model/base.py:327-342).
+"""
+import numpy as np
+import pytest
+
+import ot_vae_tpu.trainer.checkpoint as ckpt_mod
+from ot_vae_tpu.trainer.callbacks import ModelCheckpointCallback
+
+
+class _FakeTrainer:
+    monitor = "metric"
+    state = None
+    current_epoch = 0
+    logged_metrics: dict = {}
+
+
+class _FakeModel:
+    mode = "min"
+
+
+def _run_sequence(tmp_path, monkeypatch, mode, values, top_k=2):
+    saves = []
+    monkeypatch.setattr(
+        ckpt_mod, "save_checkpoint",
+        lambda path, state, model, metadata=None: saves.append(str(path)),
+    )
+    cb = ModelCheckpointCallback(
+        dirpath=str(tmp_path), monitor="metric", mode=mode, save_top_k=top_k
+    )
+    trainer, model = _FakeTrainer(), _FakeModel()
+    model.mode = mode
+    for epoch, v in enumerate(values):
+        trainer.current_epoch = epoch
+        trainer.logged_metrics = {"metric": float(v)}
+        cb.on_validation_epoch_end(trainer, model)
+    return cb, saves
+
+
+def test_topk_min_mode_admits_better(tmp_path, monkeypatch):
+    """mode='min' (e.g. FID): once top-k is full, a strictly LOWER value must
+    displace the worst saved one. Round 2 double-applied the sign, so this
+    admission never happened (reproduced in VERDICT r2 Weak #2)."""
+    cb, saves = _run_sequence(tmp_path, monkeypatch, "min", [30.0, 40.0, 10.0, 35.0])
+    kept = sorted(v for v, _ in cb.saved)
+    assert kept == [10.0, 30.0]  # 10 displaced 40; 35 (worse than both) rejected
+    assert len(saves) == 3  # 30, 40, 10 were saved; 35 never was
+    assert "10.000" in cb.best_path
+
+
+def test_topk_min_mode_rejects_worse(tmp_path, monkeypatch):
+    cb, saves = _run_sequence(tmp_path, monkeypatch, "min", [5.0, 6.0, 7.0, 8.0])
+    assert sorted(v for v, _ in cb.saved) == [5.0, 6.0]
+    assert len(saves) == 2
+
+
+def test_topk_max_mode_still_correct(tmp_path, monkeypatch):
+    cb, saves = _run_sequence(tmp_path, monkeypatch, "max", [15.0, 20.0, 25.0, 18.0])
+    assert sorted(v for v, _ in cb.saved) == [20.0, 25.0]
+    assert "25.000" in cb.best_path
