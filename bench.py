@@ -321,9 +321,12 @@ def _torch_cpu_throughput(batch_size=250, iters=5, warmup=2, runs=3):
     """The reference's compute path on CPU: equivalent torch CNN VAE
     (encode+decode with the same channel schedule, NCHW).
 
-    Best-of-``runs`` medians: the single-core host is noisy and this number
-    is the DENOMINATOR of the headline vs_baseline ratio — a 20% slow
-    measurement artificially moves the ratio a full 2× north-star-units."""
+    MEDIAN-of-``runs``, symmetric with the TPU-side median (round-2 used
+    best-of-runs for this denominator, which pushed the headline ratio up;
+    flagged by the round-2 advisor). The single-core host is noisy and this
+    number is the DENOMINATOR of the headline vs_baseline ratio — a 20%
+    slow measurement artificially moves the ratio a full 2×
+    north-star-units, hence the multiple runs."""
     import torch
     import torch.nn as nn
 
@@ -350,7 +353,7 @@ def _torch_cpu_throughput(batch_size=250, iters=5, warmup=2, runs=3):
     encoder.eval(); decoder.eval()
 
     x = torch.randn(batch_size, 1, 32, 32)
-    best = 0.0
+    rates = []
     with torch.no_grad():
         for _ in range(warmup):
             z = encoder(x)
@@ -361,8 +364,8 @@ def _torch_cpu_throughput(batch_size=250, iters=5, warmup=2, runs=3):
                 z = encoder(x)
                 decoder(z[:, :128, :, :])
             dt = time.perf_counter() - t0
-            best = max(best, batch_size * iters / dt)
-    return best
+            rates.append(batch_size * iters / dt)
+    return statistics.median(rates)
 
 
 def main():
@@ -378,20 +381,24 @@ def main():
         with open("BENCH_BIG.json", "w") as f:
             json.dump(big, f, indent=2, default=str)
 
-    # Primary metric: the reference recipe's model/batch at THIS framework's
+    # Primary metric (name FIXED from round 2 on, so driver rounds are
+    # comparable): the reference recipe's model/batch at THIS framework's
     # documented train/serve precision (bf16 — measured lossless on the e2e
-    # PSNR, examples/bf16_quality.py), against the torch-CPU reference at
-    # its best-of-runs. f32-vs-f32 is in BENCH_DETAIL.md (42.4k img/s,
-    # 9-11× depending on the noisy CPU denominator).
+    # PSNR, examples/bf16_quality.py), against the torch-CPU reference
+    # (f32) at its median-of-runs. The same line also carries the
+    # symmetric f32-vs-f32 ratio so both precisions are tracked round over
+    # round in one stable record (round-2 review Weak #7).
     import jax.numpy as _jnp
 
     eval_res = _jax_throughput(dtype=_jnp.bfloat16)
     tpu_ips = eval_res["img_per_s"]
+    tpu_ips_f32 = _jax_throughput()["img_per_s"]
     try:
         cpu_ips = _torch_cpu_throughput()
     except Exception:
         cpu_ips = float("nan")
     ratio = tpu_ips / cpu_ips if cpu_ips == cpu_ips else float("nan")
+    ratio_f32 = tpu_ips_f32 / cpu_ips if cpu_ips == cpu_ips else float("nan")
 
     if args.detail:
         import jax.numpy as jnp
@@ -418,6 +425,9 @@ def main():
         "value": round(tpu_ips, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ratio, 2) if ratio == ratio else None,
+        "value_f32": round(tpu_ips_f32, 1),
+        "vs_baseline_f32": round(ratio_f32, 2) if ratio_f32 == ratio_f32 else None,
+        "torch_cpu_f32_img_per_s": round(cpu_ips, 1) if cpu_ips == cpu_ips else None,
     }))
 
 

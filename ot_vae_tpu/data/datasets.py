@@ -251,13 +251,21 @@ class FFHQ128(ImageFolderData):
 
 
 def _as_nhwc(img) -> np.ndarray:
-    """Coerce one dataset item image to float32 NHWC-compatible HWC."""
-    arr = np.asarray(img, dtype=np.float32)
+    """Coerce one dataset item image to float32 NHWC-compatible HWC.
+
+    Integer-dtype sources (uint8 PIL/array images) are scaled by 1/255 —
+    decided from the SOURCE DTYPE, not the value range, so an all-dark
+    uint8 image (max value 0 or 1) scales consistently with its siblings
+    (round-2 advisor finding: a per-item ``max() > 1.5`` test produced
+    inconsistently scaled samples within one dataset)."""
+    raw = np.asarray(img)
+    integer_source = raw.dtype != object and np.issubdtype(raw.dtype, np.integer)
+    arr = raw.astype(np.float32)
     if arr.ndim == 2:
         arr = arr[..., None]
     elif arr.ndim == 3 and arr.shape[0] in (1, 3, 4) and arr.shape[-1] not in (1, 3, 4):
         arr = np.transpose(arr, (1, 2, 0))  # CHW (torch) -> HWC
-    if arr.max() > 1.5:  # uint8-scaled source
+    if integer_source:
         arr = arr / 255.0
     return arr
 

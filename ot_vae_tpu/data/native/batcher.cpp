@@ -91,6 +91,15 @@ struct Batcher {
   std::condition_variable cv;
   std::atomic<bool> stop{false};
   bool epoch_active = false;
+  // Epoch-restart safety (a consumer may abandon an epoch mid-stream, e.g.
+  // the trainer's limit_batches breaking out of a val loop, and immediately
+  // start the next one): `filling` marks an in-flight fill_batch (which
+  // runs OUTSIDE the lock and reads perm/fill_cursor), and `generation`
+  // stamps the epoch it belongs to. start_epoch waits until the worker is
+  // idle before rewriting perm, and the worker discards a completed fill
+  // whose generation no longer matches instead of publishing it.
+  bool filling = false;
+  uint64_t generation = 0;
 
   // Copy/normalize `count` contiguous channel-minor floats.
   void emit_line(const float* src_line, float* dst_line, int64_t count) {
@@ -138,12 +147,17 @@ struct Batcher {
       });
       if (stop.load()) return;
       const int slot = fill_cursor & 1;
+      const uint64_t gen = generation;
+      filling = true;
       lk.unlock();
       fill_batch(slot);  // heavy work outside the lock
       lk.lock();
-      buf_ready[slot] = 1;
-      ++fill_cursor;
-      if (fill_cursor >= num_batches) epoch_active = false;
+      filling = false;
+      if (generation == gen) {  // discard a fill from an abandoned epoch
+        buf_ready[slot] = 1;
+        ++fill_cursor;
+        if (fill_cursor >= num_batches) epoch_active = false;
+      }
       cv.notify_all();
     }
   }
@@ -186,6 +200,13 @@ void* ot_batcher_create(const float* images, const int32_t* labels, int64_t n,
 void ot_batcher_start_epoch(void* handle, int64_t epoch, int shuffle) {
   auto* b = static_cast<Batcher*>(handle);
   std::unique_lock<std::mutex> lk(b->mu);
+  // Quiesce the worker: stop it from STARTING a new fill, then wait out any
+  // in-flight one — fill_batch reads perm/fill_cursor unlocked, so rewriting
+  // them below while it runs would be a C++ data race (and the stale batch
+  // would be published into the new epoch).
+  b->epoch_active = false;
+  b->cv.wait(lk, [&] { return !b->filling; });
+  ++b->generation;
   for (int64_t i = 0; i < b->n; ++i) b->perm[i] = i;
   if (shuffle) {
     SplitMix64 rng(b->seed * 0x100000001b3ull + (uint64_t)epoch);

@@ -32,13 +32,26 @@ def _build() -> Optional[ctypes.CDLL]:
     global _BUILD_FAILED
     src = _DIR / "batcher.cpp"
     if not _SO.exists() or _SO.stat().st_mtime < src.stat().st_mtime:
+        # Compile to a process-unique temp path and os.replace() into place:
+        # rename is atomic on POSIX, so concurrent processes (2-process
+        # jax.distributed tests, parallel pytest) can never dlopen a
+        # partially written .so or clobber each other's build — last writer
+        # wins with a complete file either way.
+        tmp = _DIR / f"_batcher.{os.getpid()}.tmp.so"
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-               "-o", str(_SO), str(src), "-lpthread"]
+               "-o", str(tmp), str(src), "-lpthread"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
         except Exception:
             _BUILD_FAILED = True
             return None
+        finally:
+            if tmp.exists():
+                try:
+                    tmp.unlink()
+                except OSError:
+                    pass
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError:

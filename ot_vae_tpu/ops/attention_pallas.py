@@ -18,9 +18,16 @@ on-chip:
   instead of reloading it from HBM.
 
 HBM traffic per (b, h): reads 3·T·d + T·d, writes 2·T·d (+T) — versus the
-XLA path's extra O(T²) logits write+read in BOTH passes. Measured on the
-FFHQ128-scale train step: 61.5 → 23.9 ms/step (2.6×), attention share from
-75% → 34% (BENCH_DETAIL.md).
+XLA path's extra O(T²) logits write+read in BOTH passes.
+
+MEASURED VERDICT (BENCH_DETAIL.md): at every shape this framework actually
+runs (T ≤ ~1k spatial tokens) the kernel is ≈ XLA — b32·h8·t256·d64
+fwd+bwd: 3.43 ms einsum vs 3.70 ms fused — because XLA already fuses
+short-T attention well. The 2.6-2.7× step-time win quoted in round-2
+commit messages came from the ``CNN(attn_head_dim=64)`` head-shape knob
+(62.3 → 23.2 ms f32 profile), NOT from this kernel. The kernel therefore
+stays opt-in (``OT_VAE_FUSED_ATTN=1``), kept as tested infrastructure for
+longer-T workloads where the O(T²) HBM logits round-trip does dominate.
 
 Numerics match the einsum reference to ~1e-6 f32 (softmax in f32
 regardless of input dtype, like the XLA path; tests/test_attention_pallas.py).

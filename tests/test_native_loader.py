@@ -76,6 +76,26 @@ def test_shuffle_is_deterministic_permutation():
     assert key(ep0a) == key(imgs) and key(ep1) == key(imgs)
 
 
+def test_abandoned_epoch_restart_is_clean():
+    """A consumer may abandon an epoch mid-stream (the trainer breaking out
+    of a val loop on limit_batches) and immediately start the next one while
+    the worker thread is still filling. start_epoch must quiesce the worker
+    (and the worker discard stale fills), or the new epoch's first batch is
+    the ABANDONED epoch's prefetch (round-2 advisor medium finding —
+    reproducible data race before the generation-counter fix). Repeated to
+    widen the race window."""
+    imgs, labs = _data(n=64, c=2, seed=9)
+    nb = native_loader.NativeBatcher(imgs, labs, batch_size=8, seed=3)
+    for trial in range(20):
+        it = nb.epoch(trial, shuffle=True)   # shuffled: epoch-specific perm
+        next(it)                             # consume ONE batch, abandon
+        del it
+        # restart immediately, unshuffled: stream must be the identity order
+        for i, (bi, bl) in enumerate(nb.epoch(trial + 1, shuffle=False)):
+            np.testing.assert_array_equal(bi, imgs[i * 8 : (i + 1) * 8])
+            np.testing.assert_array_equal(bl, labs[i * 8 : (i + 1) * 8])
+
+
 def test_arraydataset_default_routing(monkeypatch):
     """Unshuffled iteration routes through the native batcher by default and
     is bit-identical (incl. fused Normalize) to the forced-NumPy path;

@@ -314,8 +314,9 @@ def test_generic_datamodule_train_kwarg_sniffing():
         def __init__(self, root="", train=True):
             n = 40 if train else 20
             rng = np.random.default_rng(0 if train else 1)
-            # CHW uint8-style items, like torchvision
-            self._imgs = (rng.random((n, 1, 8, 8)) * 255).astype(np.float32)
+            # CHW uint8 items, like torchvision (scaling is decided from
+            # the integer dtype, not the value range — round-3 fix)
+            self._imgs = (rng.random((n, 1, 8, 8)) * 255).astype(np.uint8)
             self._labels = rng.integers(0, 10, n)
 
         def __len__(self):

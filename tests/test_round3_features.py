@@ -60,3 +60,20 @@ def test_topk_max_mode_still_correct(tmp_path, monkeypatch):
     cb, saves = _run_sequence(tmp_path, monkeypatch, "max", [15.0, 20.0, 25.0, 18.0])
     assert sorted(v for v, _ in cb.saved) == [20.0, 25.0]
     assert "25.000" in cb.best_path
+
+
+def test_as_nhwc_scales_by_dtype_not_value_range():
+    """uint8 scaling is decided from the source DTYPE: an all-dark uint8
+    image (max value 1) must scale by 1/255 exactly like its bright
+    siblings, and float sources must never be rescaled (round-2 advisor
+    finding: a per-item max()>1.5 test split one dataset into two scales)."""
+    from ot_vae_tpu.data.datasets import _as_nhwc
+
+    dark = np.zeros((8, 8), np.uint8)
+    dark[0, 0] = 1
+    bright = np.full((8, 8), 255, np.uint8)
+    assert np.isclose(_as_nhwc(dark).max(), 1.0 / 255.0)
+    assert np.isclose(_as_nhwc(bright).max(), 1.0)
+    # float sources are trusted as-is (torchvision transforms yield [0,1])
+    f = np.full((8, 8, 1), 0.7, np.float32)
+    np.testing.assert_array_equal(_as_nhwc(f), f)
