@@ -225,6 +225,66 @@ def _big_bench(repeats=3):
     }
 
 
+def _dad_sampling_bench(repeats=3, batch_size=8):
+    """KV-cached ancestral sampling tokens/s at a production 16×16 (=256)
+    token grid (128² images, patch 8, dim-256 depth-6 AR decoder). The
+    round-2 unrolled sampler was O(T²·depth) compute with a jaxpr ∝ T —
+    255 duplicated transformer forwards at this grid made it unusable; the
+    lax.scan + flax KV-cache path compiles one step and scans it."""
+    import jax
+    import jax.numpy as jnp
+
+    from ot_vae_tpu.models import DAD
+    from ot_vae_tpu.networks import AutoRegressive, ViT
+    from ot_vae_tpu.priors import CodebookPrior
+
+    cfg = dict(image_size=128, patch_size=8, dim=256, depth=6, heads=8,
+               mlp_dim=1024, channels=3, dropout=0.0, emb_dropout=0.0)
+    encoder = ViT(n_embed_tokens=0, output_tokens="input",
+                  patch_to_embed=True, embed_to_patch=False, **cfg)
+    n_tokens = encoder.total_num_tokens
+    decoder = ViT(n_embed_tokens=None, n_input_tokens=n_tokens,
+                  output_tokens="input", patch_to_embed=False,
+                  embed_to_patch=True, **cfg)
+    prior = CodebookPrior(
+        latent_size=encoder.out_size, embed_dims=(2,), loss=None,
+        temperature_annealing=2000, n_components=512, temperature=1e-5,
+        training_mode="gumbel-softmax", inference_mode="sample",
+        update_with_autograd=True,
+    )
+    ar = AutoRegressive(vocab_size=512, n_embed_tokens=0,
+                        n_input_tokens=n_tokens, output_tokens="input",
+                        patch_to_embed=False, causal_mask=True, **cfg)
+    model = DAD(metrics=None, encoder=encoder, decoder=decoder,
+                autoregressive_decoder=ar, prior=prior)
+    batch = (jnp.zeros((batch_size, 128, 128, 3), jnp.float32),
+             jnp.zeros((batch_size,), jnp.int32))
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    fn = jax.jit(lambda v, k: model.sample_fn(v, k, batch_size, {}))
+    key = jax.random.PRNGKey(1)
+
+    def call(j):  # value-fetch sync
+        return float(jnp.mean(fn(variables, jax.random.fold_in(key, 100 + j))))
+
+    t_compile0 = time.perf_counter()
+    call(-1)
+    compile_s = time.perf_counter() - t_compile0
+    times = []
+    for j in range(repeats):
+        t0 = time.perf_counter()
+        call(j)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    return {
+        "n_tokens": n_tokens,
+        "batch_size": batch_size,
+        "tokens_per_s": batch_size * (n_tokens - 1) / med,
+        "images_per_s": batch_size / med,
+        "sample_latency_s": med,
+        "first_call_incl_compile_s": compile_s,
+    }
+
+
 def _serving_bench(repeats=20):
     """InferenceEngine request latency (pre-compiled buckets, raw→raw)."""
     import jax
@@ -410,6 +470,7 @@ def main():
             "train_bf16": _train_throughput(dtype=jnp.bfloat16),
             "ot_core": _ot_core_bench(),
             "serving": _serving_bench(),
+            "dad_sampling_256tok": _dad_sampling_bench(),
             "torch_cpu_eval_img_per_s": cpu_ips,
         }
         for k in ("eval_f32", "eval_bf16"):

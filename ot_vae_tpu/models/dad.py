@@ -29,8 +29,25 @@ class DADNet(VAENet):
     autoregressive_decoder: Optional[nn.Module] = None
 
     def ar_logits(self, indices: jax.Array, labels=None, time=None,
-                  train: bool = False) -> jax.Array:
-        """Next-token logits for a [B, n_tokens] index sequence."""
+                  train: bool = False, decode: bool = False,
+                  positions=None) -> jax.Array:
+        """Next-token logits for a [B, n_tokens] index sequence.
+
+        ``decode=True`` routes through the KV-cached path (flax 'cache'
+        collection): a full-length call creates the caches, single-token
+        calls with ``positions=[i]`` decode incrementally."""
+        if decode:
+            from ot_vae_tpu.models.base import accepted_call_args
+
+            allowed = accepted_call_args(self.autoregressive_decoder)
+            kwargs = {}
+            if labels is not None and "labels" in allowed:
+                kwargs["labels"] = labels
+            if time is not None and "time" in allowed:
+                kwargs["time"] = time
+            return self.autoregressive_decoder(
+                indices, train=train, decode=True, positions=positions, **kwargs
+            )
         return self._call_net(self.autoregressive_decoder, None, indices,
                               train, labels, time)
 
@@ -44,23 +61,30 @@ class DADNet(VAENet):
         return self.decode(z, train, labels, time, expand)
 
     def ancestral_sample(self, key: jax.Array, batch_size: int, labels=None):
-        """Token-by-token generation then codebook lookup + decode
-        (reference: discrete_auto_diffuser.py:77-95)."""
+        """Token-by-token generation then codebook lookup + decode —
+        the UNROLLED oracle path: one full AR forward per generated token,
+        mirroring the reference hot loop (discrete_auto_diffuser.py:87-89).
+        O(T²·depth) compute and jaxpr size ∝ T; production sampling uses the
+        KV-cached ``lax.scan`` path in ``DAD.sample_fn`` (identical samples
+        for identical keys — tests/test_dad.py)."""
         prior: CodebookPrior = self.prior
         n_tokens, vocab = prior.n_tokens, prior.num_embeddings
 
         k_init, k_loop = jax.random.split(key)
         tokens = jax.random.randint(k_init, (batch_size, n_tokens), 0, vocab)
 
-        # one full AR forward per generated token (reference hot loop,
-        # discrete_auto_diffuser.py:87-89); static python loop → unrolled,
-        # which XLA pipelines better than lax.scan for small n_tokens
         for i in range(n_tokens - 1):
             k_loop, k_tok = jax.random.split(k_loop)
             logits = self.ar_logits(tokens, labels=labels)  # [B, T, V]
             nxt = jax.random.categorical(k_tok, logits[:, i], axis=-1)
             tokens = tokens.at[:, i + 1].set(nxt)
 
+        return self.decode_tokens(tokens, labels=labels)
+
+    def decode_tokens(self, tokens: jax.Array, labels=None):
+        """[B, n_tokens] indices → codebook lookup → unflatten → decode."""
+        prior: CodebookPrior = self.prior
+        n_tokens, vocab = prior.n_tokens, prior.num_embeddings
         codebook = prior.codebook()  # [T(or 1), K, D]
         one_hot = jax.nn.one_hot(tokens, vocab, dtype=codebook.dtype)  # [B, T, V]
         latents = jnp.einsum("btv,tvd->btd", one_hot,
@@ -76,8 +100,9 @@ class DAD(VAE):
 
     def __init__(self, *args, prior: CodebookPrior,
                  autoregressive_decoder: nn.Module, ce_coeff: float = 1.0,
-                 **kwargs):
+                 kv_cache: bool = True, **kwargs):
         super().__init__(*args, prior=prior, **kwargs)
+        self.kv_cache = kv_cache
         base = self.net
         self.net = DADNet(
             encoder=base.encoder, decoder=base.decoder,
@@ -108,7 +133,55 @@ class DAD(VAE):
         return jnp.mean(prior_loss + self.ce_coeff * ce)
 
     def sample_fn(self, variables, key, batch_size, kwargs):
-        return self.net.apply(
-            variables, key, batch_size, labels=kwargs.get("labels"),
-            method=DADNet.ancestral_sample,
+        """Ancestral sampling. Default: KV-cached ``lax.scan`` (one cached
+        single-token decode per step — compile time flat in n_tokens,
+        O(T·depth·dim²+T²·dim) compute). ``kv_cache=False`` falls back to the
+        unrolled oracle (one FULL AR forward per token, jaxpr ∝ T — the
+        reference's own algorithm, discrete_auto_diffuser.py:77-95). Both
+        paths draw the identical key stream and produce identical samples
+        (asserted in tests/test_dad.py)."""
+        if not getattr(self, "kv_cache", True):
+            return self.net.apply(
+                variables, key, batch_size, labels=kwargs.get("labels"),
+                method=DADNet.ancestral_sample,
+            )
+        return self._ancestral_sample_scan(
+            variables, key, batch_size, labels=kwargs.get("labels")
         )
+
+    def _ancestral_sample_scan(self, variables, key, batch_size, labels=None):
+        net = self.net
+        n_tokens, vocab = self.n_tokens, self.num_embeddings
+        k_init, k_loop = jax.random.split(key)
+        tokens = jax.random.randint(k_init, (batch_size, n_tokens), 0, vocab)
+
+        # Create the zeroed [B, T, heads, head_dim] KV caches: a full-length
+        # decode=True call allocates them (flax creates cache variables sized
+        # like this call's keys; cache_index stays 0, so nothing is consumed).
+        _, cache_vars = net.apply(
+            variables, tokens, labels, decode=True,
+            positions=jnp.arange(n_tokens), method=DADNet.ar_logits,
+            mutable=["cache"],
+        )
+
+        def step(carry, i):
+            tokens, cache, k_loop = carry
+            k_loop, k_tok = jax.random.split(k_loop)
+            tok_i = lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
+            logits, mutated = net.apply(
+                {**variables, "cache": cache}, tok_i, labels,
+                decode=True, positions=i[None], method=DADNet.ar_logits,
+                mutable=["cache"],
+            )  # [B, 1, V]
+            nxt = jax.random.categorical(k_tok, logits[:, 0], axis=-1)
+            tokens = lax.dynamic_update_slice_in_dim(
+                tokens, nxt[:, None].astype(tokens.dtype), i + 1, axis=1
+            )
+            return (tokens, mutated["cache"], k_loop), None
+
+        (tokens, _, _), _ = lax.scan(
+            step, (tokens, cache_vars["cache"], k_loop),
+            jnp.arange(n_tokens - 1),
+        )
+        return net.apply(variables, tokens, labels=labels,
+                         method=DADNet.decode_tokens)

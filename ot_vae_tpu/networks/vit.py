@@ -41,12 +41,14 @@ class PositionalEmbedding(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, positions=None):
+        """``positions`` overrides the default ``arange(T)`` position ids —
+        used by the KV-cached single-token decode path, where ``x`` holds one
+        token whose absolute position the caller tracks."""
         if x.shape[-1] != self.d_model:
             raise ValueError("feature dim of `x` must equal d_model")
-        pos = nn.Embed(self.max_length, self.d_model, dtype=self.dtype)(
-            jnp.arange(x.shape[-2])
-        )
+        idx = jnp.arange(x.shape[-2]) if positions is None else jnp.asarray(positions)
+        pos = nn.Embed(self.max_length, self.d_model, dtype=self.dtype)(idx)
         h = nn.LayerNorm(dtype=self.dtype)(x + pos)
         return nn.Dropout(self.dropout, deterministic=not train)(h)
 
@@ -63,10 +65,12 @@ class TransformerLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, memory=None, mask=None, train: bool = False):
+    def __call__(self, x, memory=None, mask=None, train: bool = False,
+                 decode: bool = False):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=not train,
+            decode=decode,  # flax KV cache ('cache' collection) for AR decode
         )
         h = attn(x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype)(
@@ -178,9 +182,38 @@ class ViT(nn.Module):
         labels: Optional[jax.Array] = None,
         time: Optional[jax.Array] = None,
         train: bool = False,
+        decode: bool = False,
+        positions: Optional[jax.Array] = None,
     ) -> jax.Array:
         p = self._plan
         mlp_dim = self.mlp_dim or self.dim * 4
+
+        if decode:
+            # KV-cached autoregressive decode path (SURVEY §7: "AR sampling
+            # as lax.scan with KV reuse"). Uses flax's attention 'cache'
+            # collection: the first full-length call creates zeroed
+            # [B, T, heads, head_dim] caches per layer (and runs a normal
+            # causally-masked forward); subsequent single-token calls update
+            # the cache at the internal cache_index and attend over it.
+            # Trailing embed/class/time token streams are omitted entirely:
+            # they sit AFTER the input tokens, so under the causal mask they
+            # can never influence input-token outputs — the full path's
+            # logits for the input stream are identical without them.
+            if not self.causal_mask or self.preprocess_depth is not None:
+                raise ValueError(
+                    "decode=True requires causal_mask=True and no "
+                    "cross-attention preprocess stage"
+                )
+            if self.patch_to_embed:
+                raise ValueError("decode=True expects token embeddings, not images")
+            x = PositionalEmbedding(p["total"], self.dim, self.emb_dropout,
+                                    self.dtype)(x, train, positions=positions)
+            mask = jnp.tril(jnp.ones((x.shape[1], x.shape[1]), bool))[None, None]
+            for _ in range(self.depth):
+                x = TransformerLayer(self.dim, self.heads, mlp_dim, self.dropout,
+                                     dtype=self.dtype)(x, mask=mask, train=train,
+                                                       decode=True)
+            return x
 
         if self.patch_to_embed:
             x = rearrange(
@@ -256,9 +289,11 @@ class AutoRegressive(ViT):
     vocab_size: int = 0
 
     @nn.compact
-    def __call__(self, tokens, labels=None, time=None, train: bool = False):
+    def __call__(self, tokens, labels=None, time=None, train: bool = False,
+                 decode: bool = False, positions=None):
         assert self.vocab_size > 0, "`vocab_size` must be set"
         embeds = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype,
                           name="vocab_embed")(tokens)
-        hs = ViT.__call__(self, embeds, labels, time, train)
+        hs = ViT.__call__(self, embeds, labels, time, train,
+                          decode=decode, positions=positions)
         return nn.Dense(self.vocab_size, dtype=self.dtype, name="lm_head")(hs)
