@@ -1,0 +1,147 @@
+"""Mesh-vs-single-device equivalence for every comm call-site family beyond
+the streaming-Gaussian path (round-2 review item #8; SURVEY §2.2):
+
+* GMMTransport callback — psum'd k-means component stats,
+* DiscreteTransport callback — psum'd codebook stats,
+* ConditionalGaussianPrior EMA — psum'd one-hot-scattered per-class sums.
+
+Each runs the same seeded fit on one device and on the 8-device virtual CPU
+mesh; XLA/GSPMD must insert the cross-device reductions so the streaming
+states see the identical global data stream. (The 2-process ``ProcessComm``
+FID-state reduction lives in tests/test_multiprocess.py.)
+
+Tolerance note (same as tests/test_trainer_mesh.py): Adam updates move any
+weight by O(lr)=1e-3 per step under reduction-order ULP differences, so the
+encoder outputs feeding the streaming stats carry ~0.5% relative drift;
+aggregate invariants (total counts) are exact.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ot_vae_tpu.data import MNIST32, GaussianBlur
+from ot_vae_tpu.metrics import PSNR, MetricCollection
+from ot_vae_tpu.models import VAE
+from ot_vae_tpu.networks import CNN
+from ot_vae_tpu.parallel.mesh import make_mesh
+from ot_vae_tpu.priors import ConditionalGaussianPrior, GaussianPrior
+from ot_vae_tpu.trainer import Trainer
+from ot_vae_tpu.transport import (
+    DiscreteTransport,
+    GMMTransport,
+    LatentTransport,
+)
+
+
+def _dm():
+    return MNIST32(train_batch_size=32, val_batch_size=32, test_batch_size=32,
+                   seed=0, synthetic_train=64, synthetic_test=64)
+
+
+def _tiny(prior=None, **kw):
+    return VAE(
+        metrics=MetricCollection({"psnr": PSNR()}),
+        encoder=CNN(1, 8, 32, 8, capacity=4, down_sample=True),
+        decoder=CNN(4, 1, 8, 32, capacity=4, up_sample=True),
+        prior=prior or GaussianPrior(), **kw,
+    )
+
+
+def _fit_pair(make_model, callbacks=lambda: []):
+    """Run the same seeded 1-epoch fit single-device and on the mesh."""
+    runs = []
+    for mesh in (None, make_mesh()):
+        model = make_model()
+        cbs = callbacks()
+        tr = Trainer(max_epochs=1, seed=0, callbacks=cbs,
+                     **({"mesh": mesh} if mesh is not None else {}))
+        tr.fit(model, _dm())
+        runs.append((tr, cbs))
+    (tr1, cb1), (tr2, cb2) = runs
+    assert tr1.state.step == tr2.state.step
+    return tr1, cb1, tr2, cb2
+
+
+def _assert_stream_totals(s1, s2):
+    """Aggregate invariants robust to borderline assignment flips: the
+    component-summed stats equal the raw batch sums, so they must agree
+    across shardings even if an individual sample's argmax component
+    flipped under ULP drift. The signed sums cancel heavily (±O(100) terms
+    summing to O(10)), so the tolerance is scaled to the magnitude of the
+    summands, not the cancelled result."""
+    np.testing.assert_allclose(np.asarray(s1.n_obs).sum(),
+                               np.asarray(s2.n_obs).sum(), rtol=1e-6)
+    a = np.asarray(s1.s1).sum(0)
+    b = np.asarray(s2.s1).sum(0)
+    scale = max(1.0, float(np.abs(np.asarray(s1.s1)).max()))
+    np.testing.assert_allclose(a, b, atol=5e-2 * scale)
+
+
+def test_mesh_gmm_transport_matches_single_device():
+    make_cb = lambda: [LatentTransport(  # noqa: E731
+        size=(8, 8, 4), transport_dims=(3,), transport_operator=GMMTransport,
+        transformations=GaussianBlur(3, sigma=1.0), common_operator=True,
+        operator_kwargs=dict(diag=True, n_components=4,
+                             transport_type="argmax", kmeans_iter=0),
+        num_samples_to_log=0,
+    )]
+    _, cb1, _, cb2 = _fit_pair(_tiny, make_cb)
+    s1, s2 = cb1[0].state, cb2[0].state
+    _assert_stream_totals(s1.source, s2.source)
+    _assert_stream_totals(s1.target, s2.target)
+    c1, c2 = cb1[0]._last_cost, cb2[0]._last_cost
+    assert np.isfinite(c1) and np.isfinite(c2)
+    assert abs(c1 - c2) / max(abs(c1), 1e-6) < 0.05, (c1, c2)
+
+
+def test_mesh_discrete_transport_matches_single_device():
+    make_cb = lambda: [LatentTransport(  # noqa: E731
+        size=(8, 8, 4), transport_dims=(3,), transport_operator=DiscreteTransport,
+        transformations=GaussianBlur(3, sigma=1.0), common_operator=True,
+        operator_kwargs=dict(n_components=8, transport_type="mean",
+                             training_mode="mean", temperature=1e-2,
+                             kmeans_iter=0),
+        num_samples_to_log=0,
+    )]
+    _, cb1, _, cb2 = _fit_pair(_tiny, make_cb)
+    s1, s2 = cb1[0].state, cb2[0].state
+    _assert_stream_totals(s1.source, s2.source)
+    _assert_stream_totals(s1.target, s2.target)
+    # the fitted codebooks themselves should agree closely (soft assignments
+    # average away single-sample flips)
+    np.testing.assert_allclose(np.asarray(s1.source.codebook),
+                               np.asarray(s2.source.codebook),
+                               rtol=5e-2, atol=1e-2)
+    c1, c2 = cb1[0]._last_cost, cb2[0]._last_cost
+    assert np.isfinite(c1) and np.isfinite(c2)
+    assert abs(c1 - c2) / max(abs(c1), 1e-6) < 0.05, (c1, c2)
+
+
+def test_mesh_conditional_prior_ema_matches_single_device():
+    """The per-class EMA prior reduction (reference's DDP all-reduce call
+    site, conditional_gaussian.py:106-120): one-hot-scattered per-class sums
+    must be GLOBAL under the mesh, so the EMA tables match the single-device
+    fit."""
+    make_model = lambda: _tiny(ConditionalGaussianPrior(  # noqa: E731
+        dim=(8, 8, 4), num_classes=10, loss_coeff=0.1, ema_decay=0.95,
+    ), conditional=True)
+    tr1, _, tr2, _ = _fit_pair(make_model)
+
+    def stats(tr):
+        flat = {}
+        for coll in ("prior_stats",):
+            tree = tr.state.mutable.get(coll, {})
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                flat[jax.tree_util.keystr(path)] = np.asarray(leaf)
+        return flat
+
+    f1, f2 = stats(tr1), stats(tr2)
+    assert f1 and set(f1) == set(f2)
+    # the class-count EMA ('size') is a pure function of labels — exact
+    for name in f1:
+        if name.endswith("'size']"):
+            np.testing.assert_allclose(f1[name], f2[name], rtol=1e-6)
+            assert f1[name].sum() > 0  # the EMA path really ran
+    for name in f1:
+        np.testing.assert_allclose(f1[name], f2[name], rtol=2e-2, atol=1e-3,
+                                   err_msg=name)

@@ -50,6 +50,27 @@ assert abs(float(total) - expect) < 1e-3, (float(total), expect)
 comm = ProcessComm()
 s = comm.psum(np.asarray([float(pid + 1)]))
 assert float(s[0]) == 3.0  # 1 + 2
+
+# FID-state reduction across processes (the reference's torchmetrics
+# dist_reduce_fx="sum" path, metrics/fid.py:90-97): each process streams
+# HALF the data; the psum'd (Σf, Σffᵀ, n) states must reproduce the
+# whole-data FID exactly
+from ot_vae_tpu.metrics import FrechetInceptionDistance
+rng = np.random.default_rng(0)
+real = rng.normal(size=(16, 2, 2, 3)).astype(np.float32)
+fake = (rng.normal(size=(16, 2, 2, 3)) * 1.3 + 0.2).astype(np.float32)
+fid = FrechetInceptionDistance(
+    feature_size=12, feature_fn=lambda im: im.reshape(im.shape[0], -1),
+    min_obs=4)
+sl = per_host_slice(16)
+st = fid.update(fid.init(), samples=real[sl], generated=fake[sl])
+gst = comm.psum(jax.tree_util.tree_map(np.asarray, st))
+val_dist = float(fid.compute(gst))
+st_all = fid.update(fid.init(), samples=real, generated=fake)
+val_all = float(fid.compute(st_all))
+assert np.isfinite(val_all) and val_all > 0
+assert abs(val_dist - val_all) < 1e-3 * max(1.0, abs(val_all)), (val_dist, val_all)
+
 print(f"WORKER{pid} OK")
 """
 
