@@ -207,13 +207,18 @@ def _build_big_model(dtype=None, attn_head_dim=None):
 def _big_bench(repeats=3):
     """Train-step MFU on the FFHQ128-scale model: f32 vs bf16, reference
     head schedule (div_sqrt: head_dim 16) vs TPU-efficient attn_head_dim=64
-    (measured 2.7× whole-step; head_dim < 32 starves the MXU contraction)."""
+    (measured 2.7× whole-step; head_dim < 32 starves the MXU contraction).
+
+    inner=150 (was 20): the axon tunnel's dispatch+fetch round-trip is
+    ~67 ms/call (profiled round 3: device-op time 12.0 ms/step vs 15.4 ms
+    measured wall at inner=20 — a 22% under-report). At 150 steps/call the
+    RTT is <4% of the measurement."""
     import functools
 
     import jax.numpy as jnp
 
     hd64 = functools.partial(_build_big_model, attn_head_dim=64)
-    common = dict(batch_size=32, inner=20, repeats=repeats,
+    common = dict(batch_size=32, inner=150, repeats=repeats,
                   img_shape=(128, 128, 3))
     return {
         "train_f32": _train_throughput(build=_build_big_model, **common),

@@ -204,8 +204,13 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     b, t, width = qkv.shape
     assert width % (3 * n_heads) == 0, f"width {width} not divisible by 3*{n_heads}"
     ch = width // (3 * n_heads)
-    q, k, v = jnp.split(qkv.reshape(b, t, 3, n_heads, ch), 3, axis=2)
-    q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # [B, T, H, C]
+    c = n_heads * ch
+    # unpack via channel slices (same element order as a [B,T,3,H,C] reshape
+    # + split, but the 5-D interleaved reshape forced ~0.2 ms layout copies
+    # per attention block on TPU in both fwd and transpose passes)
+    q = qkv[..., :c].reshape(b, t, n_heads, ch)
+    k = qkv[..., c:2 * c].reshape(b, t, n_heads, ch)
+    v = qkv[..., 2 * c:].reshape(b, t, n_heads, ch)
 
     # Opt-in fused VMEM-resident kernel (ops/attention_pallas.py). Measured:
     # XLA's einsum lowering is already at parity for these shapes (e.g.
