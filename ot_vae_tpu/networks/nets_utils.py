@@ -192,6 +192,21 @@ class GaussianFourierProjection(nn.Module):
         return h
 
 
+# crossover measured on TPU v5e (bf16 fwd+bwd): fused wins 1.76× at T=1024,
+# loses 0.72× at T=256; the O(T²) HBM logits traffic XLA materializes grows
+# past the fused kernel's fixed cost between those points
+_FUSED_ATTN_MIN_T = 512
+
+
+def _use_fused_attention(t: int, ch: int, backend: str, flag: Optional[str]) -> bool:
+    """Dispatch policy for the Pallas attention kernel (pure, testable)."""
+    from ot_vae_tpu.ops.attention_pallas import fused_attention_available
+
+    if flag == "0" or backend != "tpu" or not fused_attention_available(t, ch):
+        return False
+    return flag == "1" or t >= _FUSED_ATTN_MIN_T
+
+
 def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     """Multi-head self-attention over flattened spatial positions.
 
@@ -212,22 +227,25 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     k = qkv[..., c:2 * c].reshape(b, t, n_heads, ch)
     v = qkv[..., 2 * c:].reshape(b, t, n_heads, ch)
 
-    # Opt-in fused VMEM-resident kernel (ops/attention_pallas.py). Measured:
-    # XLA's einsum lowering is already at parity for these shapes (e.g.
-    # b32·h8·t256·d64 fwd+bwd: 3.43 ms einsum vs 3.70 ms fused) — the cost
-    # is matmul shape, not HBM traffic, so the kernel is NOT the default.
-    # The shape lever that IS real: head_dim ≥ 64 (CNN attn_head_dim knob)
-    # runs ~2× faster than the reference's div_sqrt heads at equal channels.
+    # Fused VMEM-resident kernel (ops/attention_pallas.py): DEFAULT for long
+    # sequences on TPU, where XLA's O(T²) HBM logits round-trip dominates —
+    # measured fwd+bwd at the FFHQ128 decoder's 32² block (b32·h2·t1024·d64
+    # bf16): 3.99 ms einsum vs 2.26 ms fused (1.76×). At short T XLA wins
+    # (b32·h4·t256·d64: 0.93 ms einsum vs 1.29 ms fused), so the einsum path
+    # stays the default below _FUSED_ATTN_MIN_T. OT_VAE_FUSED_ATTN=1 forces
+    # the kernel at every eligible shape; =0 disables it entirely.
+    # The other shape lever that is real: head_dim ≥ 64 (CNN attn_head_dim
+    # knob) runs ~2× faster than the reference's div_sqrt heads at equal
+    # channels (BENCH_DETAIL.md).
     import os
 
-    if os.environ.get("OT_VAE_FUSED_ATTN") == "1":
-        from ot_vae_tpu.ops.attention_pallas import (
-            fused_attention, fused_attention_available)
+    if _use_fused_attention(t, ch, jax.default_backend(),
+                            os.environ.get("OT_VAE_FUSED_ATTN")):
+        from ot_vae_tpu.ops.attention_pallas import fused_attention
 
-        if jax.default_backend() == "tpu" and fused_attention_available(t, ch):
-            tr = lambda x: jnp.swapaxes(x, 1, 2)  # noqa: E731  [B,H,T,C]
-            out = fused_attention(tr(q), tr(k), tr(v), 1.0 / np.sqrt(ch))
-            return tr(out).reshape(b, t, n_heads * ch)
+        tr = lambda x: jnp.swapaxes(x, 1, 2)  # noqa: E731  [B,H,T,C]
+        out = fused_attention(tr(q), tr(k), tr(v), 1.0 / np.sqrt(ch))
+        return tr(out).reshape(b, t, n_heads * ch)
 
     scale = float(1.0 / np.sqrt(np.sqrt(ch)))
     logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)

@@ -20,14 +20,16 @@ on-chip:
 HBM traffic per (b, h): reads 3·T·d + T·d, writes 2·T·d (+T) — versus the
 XLA path's extra O(T²) logits write+read in BOTH passes.
 
-MEASURED VERDICT (BENCH_DETAIL.md): at every shape this framework actually
-runs (T ≤ ~1k spatial tokens) the kernel is ≈ XLA — b32·h8·t256·d64
-fwd+bwd: 3.43 ms einsum vs 3.70 ms fused — because XLA already fuses
-short-T attention well. The 2.6-2.7× step-time win quoted in round-2
-commit messages came from the ``CNN(attn_head_dim=64)`` head-shape knob
-(62.3 → 23.2 ms f32 profile), NOT from this kernel. The kernel therefore
-stays opt-in (``OT_VAE_FUSED_ATTN=1``), kept as tested infrastructure for
-longer-T workloads where the O(T²) HBM logits round-trip does dominate.
+MEASURED VERDICT (round 3, TPU v5e bf16 fwd+bwd): the win is T-dependent.
+At short T XLA's fused einsum lowering is already optimal — b32·h4·t256·d64:
+0.93 ms einsum vs 1.29 ms fused — but at the FFHQ128 decoder's 32² block
+(b32·h2·t1024·d64) the O(T²) HBM logits round-trip dominates the XLA path
+and the kernel wins 1.76× (3.99 → 2.26 ms). Dispatch policy
+(networks/nets_utils.py): fused by DEFAULT on TPU for T ≥ 512, einsum below;
+``OT_VAE_FUSED_ATTN=1`` forces the kernel everywhere eligible, ``=0``
+disables it. The separate 2.6-2.7× step-time win quoted in round-2 commit
+messages came from the ``CNN(attn_head_dim=64)`` head-shape knob
+(62.3 → 23.2 ms f32 profile), NOT from this kernel.
 
 Numerics match the einsum reference to ~1e-6 f32 (softmax in f32
 regardless of input dtype, like the XLA path; tests/test_attention_pallas.py).

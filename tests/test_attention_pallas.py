@@ -73,6 +73,22 @@ def test_availability_window():
     assert not fused_attention_available(256, 256)
 
 
+def test_fused_dispatch_policy():
+    """Fused kernel: TPU-only, default for T >= 512 within the VMEM window;
+    OT_VAE_FUSED_ATTN=1 forces eligible shapes, =0 disables (round-3 policy
+    from the measured crossover: 1.76x win at T=1024, 0.72x at T=256)."""
+    from ot_vae_tpu.networks.nets_utils import _use_fused_attention
+
+    assert _use_fused_attention(1024, 64, "tpu", None)       # long T: default on
+    assert not _use_fused_attention(256, 64, "tpu", None)    # short T: einsum
+    assert _use_fused_attention(256, 64, "tpu", "1")         # forced on
+    assert not _use_fused_attention(1024, 64, "tpu", "0")    # forced off
+    assert not _use_fused_attention(1024, 64, "cpu", None)   # TPU only
+    assert not _use_fused_attention(1024, 64, "cpu", "1")
+    assert not _use_fused_attention(4096, 64, "tpu", "1")    # VMEM window
+    assert not _use_fused_attention(1024, 256, "tpu", None)
+
+
 def test_spatial_attention_dispatch_unchanged_on_cpu():
     """On CPU the dispatch keeps the einsum path — same values as before."""
     from ot_vae_tpu.networks.nets_utils import spatial_attention
