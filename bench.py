@@ -113,8 +113,16 @@ def _jax_throughput(batch_size=250, inner=200, repeats=3, dtype=None,
 
 
 def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
-                      build=None, img_shape=(32, 32, 1)):
-    """FULL train step (fwd + bwd + adam update) throughput, device-resident."""
+                      build=None, img_shape=(32, 32, 1), ref_flops=False):
+    """FULL train step (fwd + bwd + adam update) throughput, device-resident.
+
+    ``ref_flops=True`` additionally compiles the SAME architecture with the
+    fused upsample-conv disabled (``OT_VAE_FUSED_UPCONV=0`` — identical
+    params, materialized upsample→conv) and reports the reference
+    formulation's cost-analysis FLOPs. The fused path genuinely eliminates
+    MACs, so its own-FLOPs MFU drops while img/s rises; the reference
+    formulation is the apples-to-apples denominator vs round ≤2 numbers and
+    vs what a torch/naive-XLA implementation of this model must compute."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -129,7 +137,7 @@ def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
     opt = optax.adam(1e-3)  # plain adam: same math, fori_loop-friendly state
     opt_state = opt.init(params)
 
-    def one_step(carry, i, key):
+    def one_step(carry, i, key, model=model):
         params, opt_state, mutable = carry
         k = jax.random.fold_in(key, i)
         x = jax.random.normal(k, (batch_size, *img_shape), xdtype)
@@ -175,7 +183,7 @@ def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
     flops = _flops_of(single, params, opt_state, variables, key)
     flops_per_img = flops / batch_size
     tflops = flops_per_img * ips / 1e12
-    return {
+    out = {
         "img_per_s": ips,
         "spread_img_per_s": spread,
         "flops_per_img": flops_per_img,
@@ -183,6 +191,23 @@ def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
         # TPU v5e peak: 197 TFLOP/s bf16 (f32 throughput is ~half)
         "mfu_vs_bf16_peak": tflops / 197.0,
     }
+    if ref_flops:
+        import os
+        os.environ["OT_VAE_FUSED_UPCONV"] = "0"
+        try:
+            ref_model = (build or _build_model)(dtype)
+            single_ref = jax.jit(
+                lambda p, o, m, k: jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
+                    one_step((p, o, m), 0, k, model=ref_model)[0][0],
+                    jnp.zeros((), jnp.float32)))
+            rfpi = _flops_of(single_ref, params, opt_state, variables,
+                             key) / batch_size
+        finally:
+            del os.environ["OT_VAE_FUSED_UPCONV"]
+        out["ref_formulation_flops_per_img"] = rfpi
+        out["ref_formulation_mfu_vs_bf16_peak"] = rfpi * ips / 1e12 / 197.0
+    return out
 
 
 def _build_big_model(dtype=None, attn_head_dim=None):
@@ -219,7 +244,7 @@ def _big_bench(repeats=3):
 
     hd64 = functools.partial(_build_big_model, attn_head_dim=64)
     common = dict(batch_size=32, inner=150, repeats=repeats,
-                  img_shape=(128, 128, 3))
+                  img_shape=(128, 128, 3), ref_flops=True)
     return {
         "train_f32": _train_throughput(build=_build_big_model, **common),
         "train_bf16": _train_throughput(

@@ -9,6 +9,7 @@ declaration at construction.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -163,6 +164,13 @@ def upsample_conv(
     commute ``upsample(conv1x1(x))`` (bit-identical values) and the conv
     runs factor²× fewer FLOPs.
 
+    ``OT_VAE_FUSED_UPCONV=0`` routes through the materialized
+    upsample→conv formulation instead — SAME parameters, same module tree
+    (an in-model A/B oracle, and the FLOPs reference for the dual-MFU
+    accounting in bench.py: the fused path genuinely does ~k²f²/⌈(k+f-1)/f⌉²f²
+    fewer MACs, so "MFU vs own cost analysis" is not comparable across the
+    knob while img/s is).
+
     :param x: [B, H, W, C] source (pre-upsample)
     :param w: [k, k, C/groups, F] HWIO kernel of the post-upsample conv
     :param dtype: computation dtype for the conv (params may be f32)
@@ -171,6 +179,17 @@ def upsample_conv(
     b, h, wd, _ = x.shape
     k1, k2, _, f_out = w.shape
     f = int(factor)
+    if os.environ.get("OT_VAE_FUSED_UPCONV") == "0":
+        u = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, f, wd, f, x.shape[-1])
+        ).reshape(b, h * f, wd * f, x.shape[-1])
+        pad1 = ((k1 - 1) // 2, k1 - 1 - (k1 - 1) // 2)
+        pad2 = ((k2 - 1) // 2, k2 - 1 - (k2 - 1) // 2)
+        return jax.lax.conv_general_dilated(
+            u, w.astype(dtype or w.dtype), (1, 1), [pad1, pad2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count,
+        )
     if k1 == 1 and k2 == 1:
         # pointwise conv commutes exactly with nearest upsampling: conv at
         # source resolution (factor²× fewer FLOPs), replicate after

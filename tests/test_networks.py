@@ -252,6 +252,22 @@ def test_upsample_conv_gradients_match(rng):
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_o), atol=1e-4, rtol=1e-4)
 
 
+def test_upsample_conv_env_escape_hatch(rng, monkeypatch):
+    """OT_VAE_FUSED_UPCONV=0 routes through the materialized formulation with
+    the SAME params — the in-model A/B oracle and bench FLOPs reference."""
+    from ot_vae_tpu.networks.nets_utils import upsample_conv
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)), F32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 4)), F32)
+    fused = upsample_conv(x, w, 2)
+    monkeypatch.setenv("OT_VAE_FUSED_UPCONV", "0")
+    materialized = upsample_conv(x, w, 2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(materialized),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(materialized),
+                                  np.asarray(_upsample_then_conv(x, w, 2)))
+
+
 @pytest.mark.parametrize("eq_lr", [None, 1.0])
 def test_equalconv_fused_upsample_module(rng, eq_lr):
     """EqualConv(up_sample=2) == explicit upsample -> EqualConv, same params."""
