@@ -45,14 +45,21 @@ def _timed_calls(call, inner_images, repeats=3):
 
 def _flops_of(jitted, *args):
     """XLA-counted FLOPs of one call (best effort across jax versions)."""
+    return _cost_of(jitted, *args)["flops"]
+
+
+def _cost_of(jitted, *args):
+    """XLA cost analysis of one call: flops + HBM bytes accessed (best
+    effort; either may be NaN on backends that don't report it)."""
     try:
         comp = jitted.lower(*args).compile()
         ca = comp.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", float("nan")))
+        return {"flops": float(ca.get("flops", float("nan"))),
+                "bytes": float(ca.get("bytes accessed", float("nan")))}
     except Exception:
-        return float("nan")
+        return {"flops": float("nan"), "bytes": float("nan")}
 
 
 def _build_model(dtype=None):
@@ -180,7 +187,8 @@ def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
     single = jax.jit(lambda p, o, m, k: jax.tree_util.tree_reduce(
         lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
         one_step((p, o, m), 0, k)[0][0], jnp.zeros((), jnp.float32)))
-    flops = _flops_of(single, params, opt_state, variables, key)
+    cost = _cost_of(single, params, opt_state, variables, key)
+    flops = cost["flops"]
     flops_per_img = flops / batch_size
     tflops = flops_per_img * ips / 1e12
     out = {
@@ -191,6 +199,15 @@ def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
         # TPU v5e peak: 197 TFLOP/s bf16 (f32 throughput is ~half)
         "mfu_vs_bf16_peak": tflops / 197.0,
     }
+    if cost["bytes"] == cost["bytes"]:  # roofline: v5e HBM ~819 GB/s
+        peak = 197e12 if xdtype == jnp.bfloat16 else 98.5e12
+        step_s = batch_size / ips
+        out["bytes_per_img"] = cost["bytes"] / batch_size
+        out["roofline_compute_s_per_step"] = flops / peak
+        out["roofline_hbm_s_per_step"] = cost["bytes"] / 819e9
+        out["measured_s_per_step"] = step_s
+        out["roofline_bound"] = (
+            "compute" if flops / peak >= cost["bytes"] / 819e9 else "hbm")
     if ref_flops:
         import os
         os.environ["OT_VAE_FUSED_UPCONV"] = "0"
@@ -253,6 +270,31 @@ def _big_bench(repeats=3):
         "train_bf16_head_dim64": _train_throughput(
             build=hd64, dtype=jnp.bfloat16, **common),
     }
+
+
+def _cliff_bench(repeats=3):
+    """Per-chip batch-size scaling of the FFHQ128-scale train step (bf16,
+    attn_head_dim=64 production recipe) with the XLA roofline per point —
+    the round-2 review flagged throughput FALLING past bs=32 (1483 → 518
+    img/s at 256) with no analysis. Each point records measured step time
+    vs the compute roofline (flops / 197 TF/s) and the HBM roofline (bytes
+    accessed / 819 GB/s), so the cliff's regime (remat/HBM spill vs tiling)
+    is pinned by data. Writes BENCH_CLIFF.json."""
+    import functools
+
+    import jax.numpy as jnp
+
+    hd64 = functools.partial(_build_big_model, attn_head_dim=64)
+    out = {}
+    for bs in (8, 16, 32, 64, 128, 256):
+        inner = max(20, min(150, 4800 // bs))  # keep RTT <1% and wall bounded
+        try:
+            out[f"bs{bs}"] = _train_throughput(
+                batch_size=bs, inner=inner, repeats=repeats, build=hd64,
+                dtype=jnp.bfloat16, img_shape=(128, 128, 3))
+        except Exception as e:  # OOM at the top end is itself a data point
+            out[f"bs{bs}"] = {"error": str(e)[:500]}
+    return out
 
 
 def _dad_sampling_bench(repeats=3, batch_size=8):
@@ -464,12 +506,19 @@ def main():
                         help="also write BENCH_DETAIL.json")
     parser.add_argument("--big", action="store_true",
                         help="also bench the FFHQ128-scale model (slow)")
+    parser.add_argument("--cliff", action="store_true",
+                        help="also sweep per-chip batch size with rooflines")
     args = parser.parse_args()
 
     if args.big:
         big = _big_bench()
         with open("BENCH_BIG.json", "w") as f:
             json.dump(big, f, indent=2, default=str)
+
+    if args.cliff:
+        cliff = _cliff_bench()
+        with open("BENCH_CLIFF.json", "w") as f:
+            json.dump(cliff, f, indent=2, default=str)
 
     # Primary metric (name FIXED from round 2 on, so driver rounds are
     # comparable): the reference recipe's model/batch at THIS framework's
