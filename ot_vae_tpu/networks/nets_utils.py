@@ -22,6 +22,7 @@ __all__ = [
     "EqualDense",
     "EqualConv",
     "upsample_conv",
+    "strided_conv_s2d",
     "spatial_attention",
     "div_sqrt",
     "get_activation",
@@ -222,6 +223,120 @@ def upsample_conv(
     return jnp.transpose(z, (0, 1, 4, 2, 5, 3)).reshape(b, h * f, wd * f, f_out)
 
 
+def _s2d_axis(k: int, s: int, p_lo: int) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """One axis of the space-to-depth decomposition of a stride-``s`` conv.
+
+    Original tap ``t = s·u + r`` reading ``x[s·i + t - p_lo]`` becomes tap
+    offset ``o = u + q_r`` of a stride-1 conv over the phase-stacked input
+    ``X[j, ρ] = x[s·j + ρ]``, with ``ρ_r = (r - p_lo) mod s`` and
+    ``q_r = ⌊(r - p_lo)/s⌋`` — a bijective (t ↔ (o, ρ)) scatter, so the sum
+    is a plain regrouping (exact modulo float reassociation).
+
+    :return: 0/1 scatter ``S[o', ρ, t]`` (``o' = o - o_min``) and the new
+        conv's (pad_lo, pad_hi) = (-o_min, o_max).
+    """
+    taps = [((t // s) + (t % s - p_lo) // s, (t % s - p_lo) % s, t)
+            for t in range(k)]
+    o_min = min(o for o, _, _ in taps)
+    o_max = max(o for o, _, _ in taps)
+    scatter = np.zeros((o_max - o_min + 1, s, k), np.float32)
+    for o, rho, t in taps:
+        scatter[o - o_min, rho, t] = 1.0
+    return scatter, (-o_min, o_max)
+
+
+def strided_conv_s2d(
+    x: jax.Array, w: jax.Array, stride: int,
+    padding: Sequence[Tuple[int, int]], dtype: Any = None,
+) -> jax.Array:
+    """Exact space-to-depth decomposition of a stride-``s`` NHWC conv.
+
+    Computes ``conv(x, w, stride=s, padding)`` as a stride-1 conv over the
+    s×s phase-stacked input ([B, H/s, W/s, s²C]) with a phase-scattered
+    kernel — the MLPerf "space-to-depth stem" transform, derived here for
+    arbitrary (k, s, padding). Same sums, regrouped: on TPU a 3-channel
+    128² stem conv pads its contraction dim 3→8 lanes (~2.7× wasted MACs);
+    phase-stacking raises Cin to s²·3 = 12 (pad 16, ~1.33× waste) and
+    shrinks the spatial extent the conv walks by s².
+
+    :param x: [B, H, W, C] with H, W divisible by ``stride``
+    :param w: [k, k, C, F] HWIO kernel of the strided conv (groups=1)
+    :param padding: explicit ((lo, hi), (lo, hi)) of the ORIGINAL conv; the
+        original output length (H + lo + hi - k)//s + 1 must equal H/s
+    :return: [B, H/s, W/s, F], equal to the strided conv's output
+    """
+    b, hgt, wid, c = x.shape
+    k1, k2, _, f_out = w.shape
+    s = int(stride)
+    (p1lo, _), (p2lo, _) = padding
+    s1, pad1 = _s2d_axis(k1, s, p1lo)
+    s2, pad2 = _s2d_axis(k2, s, p2lo)
+    xp = x.reshape(b, hgt // s, s, wid // s, s, c)
+    xp = jnp.transpose(xp, (0, 1, 3, 2, 4, 5)).reshape(
+        b, hgt // s, wid // s, s * s * c)
+    kk = jnp.einsum("apt,bqu,tucf->abpqcf", jnp.asarray(s1), jnp.asarray(s2),
+                    w.astype(jnp.float32))  # [k1',k2',s,s,C,F]
+    kk = kk.reshape(s1.shape[0], s2.shape[0], s * s * c, f_out)
+    return jax.lax.conv_general_dilated(
+        xp, kk.astype(dtype or w.dtype), (1, 1), [pad1, pad2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _s2d_applicable(x, stride, kernel_size, padding, feature_group_count,
+                    max_in_features: int = 4) -> bool:
+    """Route a strided conv through :func:`strided_conv_s2d`? Only where the
+    lane-padding win exists (tiny Cin — image-boundary stems) and the exact
+    transform's preconditions hold. ``OT_VAE_S2D_CONV=0`` disables (A/B
+    escape hatch, same params either way)."""
+    s = tuple(stride) if not isinstance(stride, int) else (stride, stride)
+    if s[0] != s[1] or s[0] < 2 or feature_group_count != 1:
+        return False
+    if x.shape[-1] > max_in_features:
+        return False
+    if x.shape[1] % s[0] or x.shape[2] % s[0]:
+        return False
+    if os.environ.get("OT_VAE_S2D_CONV") == "0":
+        return False
+    if not (isinstance(padding, (list, tuple)) and len(padding) == 2
+            and all(isinstance(p, (list, tuple)) and len(p) == 2
+                    for p in padding)):
+        return False
+    k1, k2 = kernel_size
+    h, wd = x.shape[1], x.shape[2]
+    return ((h + padding[0][0] + padding[0][1] - k1) // s[0] + 1 == h // s[0]
+            and (wd + padding[1][0] + padding[1][1] - k2) // s[0] + 1
+            == wd // s[0])
+
+
+class _StemConv(nn.Module):
+    """Param-compatible stand-in for the ``nn.Conv`` submodule of
+    :class:`EqualConv` (instantiated with ``name="Conv_0"`` — identical
+    param tree: ``Conv_0/{kernel,bias}``, same shapes/init) that computes
+    the strided conv via :func:`strided_conv_s2d`."""
+
+    features: int
+    kernel_size: Sequence[int]
+    stride: int
+    padding: Any
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k1, k2 = self.kernel_size
+        w = self.param("kernel", self.kernel_init or nn.initializers.lecun_normal(),
+                       (k1, k2, x.shape[-1], self.features), jnp.float32)
+        y = strided_conv_s2d(x.astype(self.dtype), w, self.stride,
+                             self.padding, dtype=self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class EqualConv(nn.Module):
     """NHWC conv with optional equalized learning rate.
 
@@ -271,6 +386,16 @@ class EqualConv(nn.Module):
                 y = y + (b if lr_mult is None else b * lr_mult).astype(y.dtype)
             return y
         if self.equalized_lr is None:
+            if _s2d_applicable(x, self.strides, self.kernel_size, self.padding,
+                               self.feature_group_count):
+                # image-boundary stem: space-to-depth decomposition, param
+                # tree identical to the nn.Conv branch (name="Conv_0")
+                return _StemConv(
+                    self.features, tuple(self.kernel_size),
+                    int(self.strides[0]), self.padding,
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    kernel_init=self.kernel_init, name="Conv_0",
+                )(x)
             return nn.Conv(
                 self.features, self.kernel_size, self.strides, self.padding,
                 feature_group_count=self.feature_group_count,
@@ -285,11 +410,17 @@ class EqualConv(nn.Module):
         )
         fan_in = int(np.prod(self.kernel_size)) * in_features
         scale = float(lr_mult / np.sqrt(fan_in))
-        y = jax.lax.conv_general_dilated(
-            x, w * scale, tuple(self.strides), self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-        )
+        if _s2d_applicable(x, self.strides, self.kernel_size, self.padding,
+                           self.feature_group_count):
+            y = strided_conv_s2d(x, (w * scale).astype(self.dtype),
+                                 int(self.strides[0]), self.padding,
+                                 dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w * scale, tuple(self.strides), self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
             y = y + b * lr_mult
