@@ -290,6 +290,7 @@ class CNN(nn.Module):
     groups: int = 1
     use_bias: bool = True
     remat: bool = False
+    remat_policy: Optional[str] = None
     attn_head_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
@@ -305,9 +306,24 @@ class CNN(nn.Module):
             self.max_attn_res, self.down_sample, self.up_sample,
         )
         # per-block rematerialization trades FLOPs for HBM (jax.checkpoint);
-        # turn on for high-resolution stacks that don't fit activations
-        block_cls = nn.remat(ConvBlock, static_argnums=(3,)) if self.remat else ConvBlock
-        for oc, r in zip(features[1:], attn_res):
+        # turn on for high-resolution stacks that don't fit activations.
+        # remat_policy picks what the backward may KEEP (everything else is
+        # recomputed): "dots" / "dots_no_batch" retain matmul/conv outputs
+        # (cheap elementwise chains recompute — the usual best trade at
+        # large per-chip batch), "nothing" recomputes all.
+        block_cls = ConvBlock
+        if self.remat:
+            policy = None
+            if self.remat_policy:
+                import jax.ad_checkpoint as adc
+                policy = {
+                    "dots": adc.checkpoint_policies.checkpoint_dots,
+                    "dots_no_batch":
+                        adc.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                    "nothing": adc.checkpoint_policies.nothing_saveable,
+                }[self.remat_policy]
+            block_cls = nn.remat(ConvBlock, static_argnums=(3,), policy=policy)
+        for bi, (oc, r) in enumerate(zip(features[1:], attn_res)):
             # heads: reference parity is div_sqrt(C) (head_dim ≈ sqrt(C) —
             # e.g. 16 at C=512), but head_dim < 32 starves the MXU's 128-wide
             # contraction: measured ~2× slower fwd+bwd than head_dim=64 at
@@ -319,11 +335,16 @@ class CNN(nn.Module):
                 heads = max(1, oc // self.attn_head_dim)
             else:
                 heads = div_sqrt(oc)
+            # explicit name: nn.remat's lifted class auto-names as
+            # "CheckpointConvBlock_i"; pinning "ConvBlock_i" (= the plain
+            # path's auto-name) keeps the param tree IDENTICAL across the
+            # remat flag, so remat is toggleable on a trained checkpoint
             x = block_cls(
                 oc, heads, self.n_layers, self.down_sample, self.up_sample,
                 self.additional_embed, self.normalization, self.activation,
                 self.residual, self.equalized_lr, self.dropout, self.kernel_size,
                 self.groups, self.use_bias, self.dtype,
+                name=f"ConvBlock_{bi}",
             )(x, embed, train)
         return x
 
