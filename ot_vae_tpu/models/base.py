@@ -59,6 +59,10 @@ class VisionModel:
     ema_decay: Optional[float] = None
     metrics: Optional[MetricCollection] = None
     checkpoints: Optional[Dict[str, Any]] = None  # attr -> PartialCheckpoint
+    # Lightning Trainer(gradient_clip_val=...) parity — the reference's own
+    # DDP recipe sets 1.0 (configs/ddp.yaml:4). None disables. Clips by
+    # global 2-norm before Adam (Lightning's default algorithm="norm").
+    gradient_clip_val: Optional[float] = None
 
     def __init__(self):
         self.inference_preprocess: Transform = Identity()
@@ -115,6 +119,10 @@ class VisionModel:
         base = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.learning_rate, b1=0.9, b2=0.999
         )
+        if self.gradient_clip_val:
+            base = optax.chain(
+                optax.clip_by_global_norm(float(self.gradient_clip_val)), base
+            )
         frozen = self.frozen_param_paths()
         if not frozen:
             return base

@@ -164,6 +164,7 @@ class VAE(VisionModel):
         learning_rate: float = 1e-3,
         ema_decay: Optional[float] = None,
         checkpoints: Optional[dict] = None,
+        gradient_clip_val: Optional[float] = None,
     ):
         self.metrics = metrics
         self.monitor = monitor
@@ -173,6 +174,7 @@ class VAE(VisionModel):
         self.learning_rate = learning_rate
         self.ema_decay = ema_decay
         self.checkpoints = checkpoints
+        self.gradient_clip_val = gradient_clip_val
         self.net = VAENet(
             encoder=encoder, decoder=decoder, autoencoder=autoencoder, prior=prior
         )

@@ -42,7 +42,10 @@ def _set_lr(opt_state, lr: float):
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             return node._replace(hyperparams=hp)
         if isinstance(node, tuple) and not hasattr(node, "hyperparams"):
-            return type(node)(*(walk(c) for c in node))
+            children = tuple(walk(c) for c in node)
+            # namedtuple states rebuild by fields; optax.chain states are
+            # PLAIN tuples (tuple(*children) would be a TypeError)
+            return type(node)(*children) if hasattr(node, "_fields") else children
         return node
 
     return walk(opt_state)
@@ -81,6 +84,7 @@ class Trainer:
         enable_progress_bar: bool = False,
         profile_dir: Optional[str] = None,
         metric_comm=None,
+        accumulate_grad_batches: int = 1,
     ):
         self.max_epochs = max_epochs
         self.callbacks = list(callbacks or [])
@@ -96,6 +100,13 @@ class Trainer:
         self.limit_batches = limit_batches
         self.enable_progress_bar = enable_progress_bar
         self.profile_dir = profile_dir
+        # Lightning Trainer(accumulate_grad_batches=N): mean of N micro-batch
+        # gradients per optimizer step; global_step counts OPTIMIZER steps;
+        # mutable collections (batch_stats, prior_stats) update every
+        # micro-batch. The big-model bench shows per-chip throughput falling
+        # past batch 32 — accumulation is how a reference user scales the
+        # effective batch without crossing that cliff.
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         # cross-process metric-state reduction seam (reference: torchmetrics
         # dist_reduce_fx="sum" + sync_dist=True, model/base.py:215-220).
         # Single-process GSPMD evaluates on global arrays so the identity comm
@@ -188,6 +199,51 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def _build_accum_steps(self, model):
+        """Two jitted halves of an accumulated step: per-micro-batch gradient
+        accumulation (running mean) and the optimizer/EMA application."""
+        opt = self._opt
+        n_acc = self.accumulate_grad_batches
+
+        def grad_step(state: TrainState, accum, batch, key):
+            k_pre, k_prior, k_drop = jax.random.split(key, 3)
+            pbatch = model.batch_preprocess(batch, k_pre, train=True)
+            rngs = {"prior": k_prior, "dropout": k_drop}
+
+            def lf(params):
+                variables = {"params": params, **state.mutable}
+                return model.loss_fn(variables, pbatch, state.step, rngs)
+
+            (loss, (logs, outputs, mutated)), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(state.params)
+            accum = jax.tree_util.tree_map(
+                lambda a, g: a + g / n_acc, accum, grads
+            )
+            new_state = state.replace(mutable={**state.mutable, **mutated})
+            return new_state, accum, logs, outputs
+
+        def apply_step(state: TrainState, accum):
+            updates, new_opt = opt.update(accum, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema_params
+            if ema is not None:
+                d = model.ema_decay
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p * (1.0 - d), ema, params
+                )
+            new_state = state.replace(
+                step=state.step + 1, params=params,
+                opt_state=new_opt, ema_params=ema,
+            )
+            # zeroed accumulator for the NEXT window, reusing the donated
+            # accum buffers on-device (an eager zeros_like per window would
+            # be a host round trip on the tunneled backend)
+            return new_state, jax.tree_util.tree_map(jnp.zeros_like, accum)
+
+        return (jax.jit(grad_step, donate_argnums=(0, 1)),
+                jax.jit(apply_step, donate_argnums=(0, 1)))
+
     def _build_eval_step(self, model, metrics, use_ema: bool, with_generated: bool):
         def eval_step(state: TrainState, batch, metric_states, key):
             variables = state.ema_variables if use_ema else state.variables
@@ -242,6 +298,8 @@ class Trainer:
         if self.mesh is not None:
             self.state = put_replicated(self.mesh, self.state)
         self._train_step = self._build_train_step(model)
+        if self.accumulate_grad_batches > 1:
+            self._grad_step, self._apply_step = self._build_accum_steps(model)
         self._lr = float(model.learning_rate)
         self._plateau_best = None
         self._plateau_count = 0
@@ -318,6 +376,8 @@ class Trainer:
             self, "_built_transform_version", 0
         ):
             self._train_step = self._build_train_step(model)
+            if self.accumulate_grad_batches > 1:
+                self._grad_step, self._apply_step = self._build_accum_steps(model)
         # native profiling (SURVEY §5: jax.profiler replaces the reference's
         # disabled torch profiler hooks, demo.py:22-23) — profile epoch 1 only
         # (epoch 0 is dominated by compilation)
@@ -326,6 +386,8 @@ class Trainer:
             jax.profiler.start_trace(self.profile_dir)
         t0 = time.time()
         n = 0
+        n_acc = self.accumulate_grad_batches
+        accum, micro = None, 0
         for batch_idx, dev_batch in enumerate(
             self._prefetch(datamodule.train_batches(epoch))
         ):
@@ -333,8 +395,25 @@ class Trainer:
                 break
             key = self._key(1, epoch, batch_idx)
             with jax.profiler.StepTraceAnnotation("train_step", step_num=self.global_step):
-                self.state, logs, outputs = self._train_step(self.state, dev_batch, key)
-            self.global_step = int(self.state.step)
+                if n_acc == 1:
+                    self.state, logs, outputs = self._train_step(
+                        self.state, dev_batch, key)
+                    # host-side step counter: int(self.state.step) here would
+                    # be a device→host fetch PER BATCH (~67 ms RTT on the
+                    # tunneled backend) serializing the async dispatch queue;
+                    # the periodic log fetch below is the sync point
+                    self.global_step += 1
+                else:
+                    if accum is None:
+                        accum = jax.tree_util.tree_map(
+                            jnp.zeros_like, self.state.params)
+                    self.state, accum, logs, outputs = self._grad_step(
+                        self.state, accum, dev_batch, key)
+                    micro += 1
+                    if micro == n_acc:
+                        self.state, accum = self._apply_step(self.state, accum)
+                        micro = 0
+                        self.global_step += 1
             n += 1
             if batch_idx % self.log_every_n_steps == 0:
                 self.logger.log_metrics(
@@ -347,6 +426,12 @@ class Trainer:
                       f"step {batch_idx + 1}/{total} "
                       f"loss={float(logs.get('train/loss/total', float('nan'))):.4f}",
                       end="", flush=True)
+        if micro:  # trailing partial window: step on what we have
+            # (Lightning also steps on the epoch's last batch; the mean was
+            # pre-divided by n_acc, so a partial window takes a micro/n_acc-
+            # scaled step rather than re-normalizing — documented behavior)
+            self.state, _ = self._apply_step(self.state, accum)
+            self.global_step += 1
         if self.enable_progress_bar and n and jax.process_index() == 0:
             print()  # newline after the in-place progress line
         if profiling:

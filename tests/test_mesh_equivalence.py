@@ -142,6 +142,13 @@ def test_mesh_conditional_prior_ema_matches_single_device():
         if name.endswith("'size']"):
             np.testing.assert_allclose(f1[name], f2[name], rtol=1e-6)
             assert f1[name].sum() > 0  # the EMA path really ran
+    # Tolerance note (mirrors test_trainer_mesh): the EMA mu/var tables
+    # average LATENTS, whose trajectory diverges between the fits by
+    # O(lr)=1e-3 per Adam step from reduction-order ULPs in the sharded
+    # psum (Adam's m/√v makes the step size gradient-magnitude-invariant).
+    # Observed worst case after 2 epochs: 1.3e-3 on a near-zero element;
+    # atol=5e-3 keeps the GLOBAL-vs-local distinction sharp (a missing psum
+    # shifts whole rows by O(0.1) — see the 'size' exactness above).
     for name in f1:
-        np.testing.assert_allclose(f1[name], f2[name], rtol=2e-2, atol=1e-3,
+        np.testing.assert_allclose(f1[name], f2[name], rtol=2e-2, atol=5e-3,
                                    err_msg=name)

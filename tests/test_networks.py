@@ -293,3 +293,109 @@ def test_equalconv_fused_upsample_module(rng, eq_lr):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+# --- space-to-depth strided conv (exact phase decomposition, stem boundary) ---
+
+def _strided_conv(x, w, s, padding):
+    """Oracle: plain strided conv."""
+    return jax.lax.conv_general_dilated(
+        x, w, (s, s), list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("k,s,pad", [
+    (4, 2, (1, 2)),   # ConvLayer down_sample=2 scheme: ((k-1)//2, k//2)
+    (5, 2, (2, 2)),   # odd kernel >= 2*factor
+    (8, 4, (3, 4)),   # down_sample=4
+    (3, 2, (1, 1)),   # kernel < 2*stride taps every phase once
+    (2, 2, (0, 1)),   # minimal kernel
+])
+def test_strided_conv_s2d_matches_strided(rng, k, s, pad):
+    from ot_vae_tpu.networks.nets_utils import strided_conv_s2d
+
+    b, h, cin, cout = 2, 16, 3, 10
+    x = jnp.asarray(rng.standard_normal((b, h, h, cin)), F32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)), F32)
+    got = strided_conv_s2d(x, w, s, [pad, pad])
+    want = _strided_conv(x, w, s, [pad, pad])
+    assert got.shape == want.shape == (b, h // s, h // s, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_strided_conv_s2d_gradients_match(rng):
+    from ot_vae_tpu.networks.nets_utils import strided_conv_s2d
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), F32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 3, 6)), F32)
+    co = jnp.asarray(rng.standard_normal((2, 4, 4, 6)), F32)
+    pad = [(1, 2), (1, 2)]
+    gx_f, gw_f = jax.grad(
+        lambda x, w: jnp.sum(strided_conv_s2d(x, w, 2, pad) * co),
+        argnums=(0, 1))(x, w)
+    gx_o, gw_o = jax.grad(
+        lambda x, w: jnp.sum(_strided_conv(x, w, 2, pad) * co),
+        argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_o), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_o), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("eq_lr", [None, 1.0])
+def test_equalconv_s2d_stem_module(rng, eq_lr, monkeypatch):
+    """EqualConv routes tiny-Cin strided convs through the s2d path with an
+    UNCHANGED param tree; OT_VAE_S2D_CONV=0 gives the plain formulation with
+    the same params and (up to reassociation) the same values."""
+    from ot_vae_tpu.networks.nets_utils import EqualConv
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), F32)
+    conv = EqualConv(12, (4, 4), (2, 2), padding=[(1, 2)] * 2,
+                     equalized_lr=eq_lr)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    got = conv.apply(v, x)
+    assert got.shape == (2, 8, 8, 12)
+
+    monkeypatch.setenv("OT_VAE_S2D_CONV", "0")
+    v_plain = conv.init(jax.random.PRNGKey(0), x)
+    want = conv.apply(v_plain, x)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(v_plain))
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_equalconv_s2d_not_applied_to_wide_input(rng):
+    """Cin above the lane-padding-waste regime keeps the plain conv path
+    (param tree must still contain the nn.Conv submodule)."""
+    from ot_vae_tpu.networks.nets_utils import EqualConv
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), F32)
+    conv = EqualConv(12, (4, 4), (2, 2), padding=[(1, 2)] * 2)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    assert "Conv_0" in v["params"]
+    assert conv.apply(v, x).shape == (2, 8, 8, 12)
+
+
+@pytest.mark.parametrize("policy", [None, "dots", "dots_no_batch", "nothing"])
+def test_cnn_remat_policy_matches_no_remat(rng, policy):
+    """remat (any policy) changes memory/FLOPs, never values or gradients."""
+    from ot_vae_tpu.networks import CNN
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 1)), F32)
+    plain = CNN(1, 8, 8, 2, capacity=4, down_sample=True, residual="add")
+    remat = CNN(1, 8, 8, 2, capacity=4, down_sample=True, residual="add",
+                remat=True, remat_policy=policy)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    y_p = plain.apply(v, x)
+    y_r = remat.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r),
+                               atol=1e-6, rtol=1e-6)
+    g_p = jax.grad(lambda v: jnp.sum(plain.apply(v, x) ** 2))(v)
+    g_r = jax.grad(lambda v: jnp.sum(remat.apply(v, x) ** 2))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
