@@ -85,6 +85,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         metric_comm=None,
         accumulate_grad_batches: int = 1,
+        check_val_every_n_epoch: int = 1,
     ):
         self.max_epochs = max_epochs
         self.callbacks = list(callbacks or [])
@@ -107,6 +108,11 @@ class Trainer:
         # past batch 32 — accumulation is how a reference user scales the
         # effective batch without crossing that cliff.
         self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
+        # Lightning Trainer(check_val_every_n_epoch=N): validate (and hence
+        # feed the LR plateau / EarlyStopping / checkpoint monitors) every
+        # N-th epoch; the final epoch always validates so fit() ends with
+        # fresh logged_metrics.
+        self.check_val_every_n_epoch = max(1, int(check_val_every_n_epoch))
         # cross-process metric-state reduction seam (reference: torchmetrics
         # dist_reduce_fx="sum" + sync_dist=True, model/base.py:215-220).
         # Single-process GSPMD evaluates on global arrays so the identity comm
@@ -363,8 +369,10 @@ class Trainer:
             self._hook("on_train_epoch_start", model)
             self._run_train_epoch(model, datamodule, epoch)
             self._hook("on_train_epoch_end", model)
-            self._run_validation(model, datamodule)
-            self._maybe_reduce_lr()
+            if ((epoch + 1) % self.check_val_every_n_epoch == 0
+                    or epoch == self.max_epochs - 1):
+                self._run_validation(model, datamodule)
+                self._maybe_reduce_lr()
         model.variables = jax.device_get(self.state.variables)
         self._hook("on_fit_end", model)
         return self

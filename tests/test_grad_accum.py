@@ -174,3 +174,23 @@ def test_gradient_clip_val_is_live_and_lr_reachable():
     assert lr is not None and float(lr) > 0
     new = _set_lr(st, 1.23e-4)
     assert abs(float(_find_lr(new)) - 1.23e-4) < 1e-9  # f32 storage
+
+
+def test_check_val_every_n_epoch():
+    """Lightning Trainer(check_val_every_n_epoch=2): 3 epochs -> validation
+    at epoch index 1 (2nd) and at the final epoch, i.e. exactly twice."""
+    from ot_vae_tpu.trainer import Callback
+
+    class Counter(Callback):
+        count = 0
+
+        def on_validation_epoch_end(self, trainer, model):
+            Counter.count += 1
+
+    Counter.count = 0
+    dm = _dm()
+    model = _tiny()
+    tr = Trainer(max_epochs=3, seed=0, limit_batches=1, lr_plateau=False,
+                 check_val_every_n_epoch=2, callbacks=[Counter()])
+    tr.fit(model, dm)
+    assert Counter.count == 2

@@ -310,11 +310,12 @@ def _strided_conv(x, w, s, padding):
     (8, 4, (3, 4)),   # down_sample=4
     (3, 2, (1, 1)),   # kernel < 2*stride taps every phase once
     (2, 2, (0, 1)),   # minimal kernel
+    (6, 3, (2, 3)),   # non-power-of-2 stride
 ])
 def test_strided_conv_s2d_matches_strided(rng, k, s, pad):
     from ot_vae_tpu.networks.nets_utils import strided_conv_s2d
 
-    b, h, cin, cout = 2, 16, 3, 10
+    b, h, cin, cout = 2, 18 if s == 3 else 16, 3, 10
     x = jnp.asarray(rng.standard_normal((b, h, h, cin)), F32)
     w = jnp.asarray(rng.standard_normal((k, k, cin, cout)), F32)
     got = strided_conv_s2d(x, w, s, [pad, pad])
