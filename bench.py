@@ -269,7 +269,27 @@ def _big_bench(repeats=3):
         "train_f32_head_dim64": _train_throughput(build=hd64, **common),
         "train_bf16_head_dim64": _train_throughput(
             build=hd64, dtype=jnp.bfloat16, **common),
+        # space-to-depth stem A/B (identical params/FLOPs — the win is
+        # MXU lane padding, so it shows in img/s only)
+        "train_bf16_head_dim64_no_s2d": _env_ab(
+            "OT_VAE_S2D_CONV", "0", _train_throughput,
+            build=hd64, dtype=jnp.bfloat16, **{**common, "ref_flops": False}),
     }
+
+
+def _env_ab(var, value, fn, **kw):
+    """Run ``fn`` with ``var=value`` set, restoring the environment after."""
+    import os
+
+    prev = os.environ.get(var)
+    os.environ[var] = value
+    try:
+        return fn(**kw)
+    finally:
+        if prev is None:
+            del os.environ[var]
+        else:
+            os.environ[var] = prev
 
 
 def _cliff_bench(repeats=3):
