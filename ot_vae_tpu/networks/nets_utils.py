@@ -165,12 +165,16 @@ def upsample_conv(
     commute ``upsample(conv1x1(x))`` (bit-identical values) and the conv
     runs factor²× fewer FLOPs.
 
-    ``OT_VAE_FUSED_UPCONV=0`` routes through the materialized
-    upsample→conv formulation instead — SAME parameters, same module tree
-    (an in-model A/B oracle, and the FLOPs reference for the dual-MFU
-    accounting in bench.py: the fused path genuinely does ~k²f²/⌈(k+f-1)/f⌉²f²
-    fewer MACs, so "MFU vs own cost analysis" is not comparable across the
-    knob while img/s is).
+    Default: fused on TPU (the optimization target), materialized on CPU —
+    the seeded CPU parity-gate floors (tests/test_vae_mnist.py, mirroring
+    the reference CI's 15 dB) were derived on the materialized formulation,
+    and op-level reassociation (~1e-5 f32) is enough to move a short seeded
+    trajectory a few tenths of a dB. ``OT_VAE_FUSED_UPCONV=1`` forces the
+    fused path everywhere, ``=0`` forces materialized — SAME parameters,
+    same module tree (an in-model A/B oracle, and the FLOPs reference for
+    the dual-MFU accounting in bench.py: the fused path genuinely does
+    ~k²f²/⌈(k+f-1)/f⌉²f² fewer MACs, so "MFU vs own cost analysis" is not
+    comparable across the knob while img/s is).
 
     :param x: [B, H, W, C] source (pre-upsample)
     :param w: [k, k, C/groups, F] HWIO kernel of the post-upsample conv
@@ -180,7 +184,7 @@ def upsample_conv(
     b, h, wd, _ = x.shape
     k1, k2, _, f_out = w.shape
     f = int(factor)
-    if os.environ.get("OT_VAE_FUSED_UPCONV") == "0":
+    if not _tpu_fusion_default("OT_VAE_FUSED_UPCONV"):
         u = jnp.broadcast_to(
             x[:, :, None, :, None, :], (b, h, f, wd, f, x.shape[-1])
         ).reshape(b, h * f, wd * f, x.shape[-1])
@@ -221,6 +225,22 @@ def upsample_conv(
     )  # [B,H,W,F·f²] with channel index (cout, dh, dw)
     z = z.reshape(b, h, wd, f_out, f, f)
     return jnp.transpose(z, (0, 1, 4, 2, 5, 3)).reshape(b, h * f, wd * f, f_out)
+
+
+def _tpu_fusion_default(env_name: str) -> bool:
+    """Shared default rule for numerics-reassociating fusions (fused
+    upsample-conv, space-to-depth stem — same pattern as the fused
+    attention kernel's gate): ``=1`` forces on, ``=0`` forces off, unset →
+    on only when the default backend is TPU. CPU keeps the reference-exact
+    formulation so the seeded parity-gate floors stay on the trajectories
+    they were derived on; TPU (where floors are re-derived by drives) gets
+    the MXU-optimal path."""
+    v = os.environ.get(env_name)
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _s2d_axis(k: int, s: int, p_lo: int) -> Tuple[np.ndarray, Tuple[int, int]]:
@@ -296,7 +316,7 @@ def _s2d_applicable(x, stride, kernel_size, padding, feature_group_count,
         return False
     if x.shape[1] % s[0] or x.shape[2] % s[0]:
         return False
-    if os.environ.get("OT_VAE_S2D_CONV") == "0":
+    if not _tpu_fusion_default("OT_VAE_S2D_CONV"):
         return False
     if not (isinstance(padding, (list, tuple)) and len(padding) == 2
             and all(isinstance(p, (list, tuple)) and len(p) == 2
@@ -307,6 +327,36 @@ def _s2d_applicable(x, stride, kernel_size, padding, feature_group_count,
     return ((h + padding[0][0] + padding[0][1] - k1) // s[0] + 1 == h // s[0]
             and (wd + padding[1][0] + padding[1][1] - k2) // s[0] + 1
             == wd // s[0])
+
+
+class _UpConv(nn.Module):
+    """Param-compatible stand-in for the ``nn.Conv`` submodule of
+    :class:`EqualConv` on the fused-upsample path (instantiated with
+    ``name="Conv_0"`` — identical param tree/shapes/init to the unfused
+    upsample→nn.Conv formulation, so checkpoints and seeded init draws are
+    preserved across the fusion) computing :func:`upsample_conv`."""
+
+    features: int
+    kernel_size: Sequence[int]
+    factor: int
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k1, k2 = self.kernel_size
+        in_features = x.shape[-1] // self.feature_group_count
+        w = self.param("kernel", self.kernel_init or nn.initializers.lecun_normal(),
+                       (k1, k2, in_features, self.features), jnp.float32)
+        y = upsample_conv(x.astype(self.dtype), w, self.factor,
+                          self.feature_group_count, dtype=self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
 
 
 class _StemConv(nn.Module):
@@ -365,25 +415,26 @@ class EqualConv(nn.Module):
             in_features = x.shape[-1] // self.feature_group_count
             kshape = (*self.kernel_size, in_features, self.features)
             if lr_mult is None:
-                w = self.param(
-                    "kernel", self.kernel_init or nn.initializers.lecun_normal(),
-                    kshape, jnp.float32,
-                )
-            else:
-                w = self.param(
-                    "kernel", nn.initializers.normal(stddev=1.0 / lr_mult),
-                    kshape, self.dtype,
-                ) * float(lr_mult / np.sqrt(int(np.prod(self.kernel_size)) * in_features))
+                # params under the SAME "Conv_0" submodule as the unfused
+                # nn.Conv path: identical tree AND identical seeded init
+                # draws across the fusion (param RNG folds over the path)
+                return _UpConv(
+                    self.features, tuple(self.kernel_size), int(self.up_sample),
+                    self.feature_group_count, self.use_bias, self.dtype,
+                    self.kernel_init, name="Conv_0",
+                )(x)
+            w = self.param(
+                "kernel", nn.initializers.normal(stddev=1.0 / lr_mult),
+                kshape, self.dtype,
+            ) * float(lr_mult / np.sqrt(int(np.prod(self.kernel_size)) * in_features))
             y = upsample_conv(
                 x.astype(self.dtype), w, int(self.up_sample),
                 self.feature_group_count, dtype=self.dtype,
             )
             if self.use_bias:
-                b = self.param(
-                    "bias", nn.initializers.zeros, (self.features,),
-                    jnp.float32 if lr_mult is None else self.dtype,
-                )
-                y = y + (b if lr_mult is None else b * lr_mult).astype(y.dtype)
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), self.dtype)
+                y = y + (b * lr_mult).astype(y.dtype)
             return y
         if self.equalized_lr is None:
             if _s2d_applicable(x, self.strides, self.kernel_size, self.padding,

@@ -214,7 +214,8 @@ def _upsample_then_conv(x, w, factor, groups=1):
 @pytest.mark.parametrize("k,factor,groups", [
     (3, 2, 1), (1, 2, 1), (3, 4, 1), (5, 2, 1), (3, 2, 2), (1, 4, 1),
 ])
-def test_upsample_conv_matches_materialized(rng, k, factor, groups):
+def test_upsample_conv_matches_materialized(rng, k, factor, groups, monkeypatch):
+    monkeypatch.setenv("OT_VAE_FUSED_UPCONV", "1")  # CPU defaults materialized
     from ot_vae_tpu.networks.nets_utils import upsample_conv
 
     b, h, cin, cout = 2, 6, 8, 12
@@ -227,8 +228,9 @@ def test_upsample_conv_matches_materialized(rng, k, factor, groups):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_upsample_conv_1x1_commute_bit_identical(rng):
+def test_upsample_conv_1x1_commute_bit_identical(rng, monkeypatch):
     """k=1 degenerates to upsample(conv1x1(x)) — bit-identical values."""
+    monkeypatch.setenv("OT_VAE_FUSED_UPCONV", "1")
     from ot_vae_tpu.networks.nets_utils import upsample_conv
 
     x = jnp.asarray(rng.standard_normal((3, 5, 5, 16)), F32)
@@ -238,7 +240,8 @@ def test_upsample_conv_1x1_commute_bit_identical(rng):
     assert np.array_equal(got, want)
 
 
-def test_upsample_conv_gradients_match(rng):
+def test_upsample_conv_gradients_match(rng, monkeypatch):
+    monkeypatch.setenv("OT_VAE_FUSED_UPCONV", "1")
     from ot_vae_tpu.networks.nets_utils import upsample_conv
 
     x = jnp.asarray(rng.standard_normal((2, 4, 4, 6)), F32)
@@ -253,12 +256,14 @@ def test_upsample_conv_gradients_match(rng):
 
 
 def test_upsample_conv_env_escape_hatch(rng, monkeypatch):
-    """OT_VAE_FUSED_UPCONV=0 routes through the materialized formulation with
-    the SAME params — the in-model A/B oracle and bench FLOPs reference."""
+    """The OT_VAE_FUSED_UPCONV knob selects fused (=1, TPU default) vs
+    materialized (=0, CPU default) with the SAME params — the in-model A/B
+    oracle and bench FLOPs reference."""
     from ot_vae_tpu.networks.nets_utils import upsample_conv
 
     x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)), F32)
     w = jnp.asarray(rng.standard_normal((3, 3, 8, 4)), F32)
+    monkeypatch.setenv("OT_VAE_FUSED_UPCONV", "1")
     fused = upsample_conv(x, w, 2)
     monkeypatch.setenv("OT_VAE_FUSED_UPCONV", "0")
     materialized = upsample_conv(x, w, 2)
@@ -269,8 +274,9 @@ def test_upsample_conv_env_escape_hatch(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("eq_lr", [None, 1.0])
-def test_equalconv_fused_upsample_module(rng, eq_lr):
+def test_equalconv_fused_upsample_module(rng, eq_lr, monkeypatch):
     """EqualConv(up_sample=2) == explicit upsample -> EqualConv, same params."""
+    monkeypatch.setenv("OT_VAE_FUSED_UPCONV", "1")
     from ot_vae_tpu.networks.nets_utils import EqualConv
 
     x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)), F32)
@@ -282,12 +288,15 @@ def test_equalconv_fused_upsample_module(rng, eq_lr):
     b, h, wd, c = x.shape
     u = jnp.broadcast_to(
         x[:, :, None, :, None, :], (b, h, 2, wd, 2, c)).reshape(b, 2 * h, 2 * wd, c)
-    # remap the fused param tree onto the plain module's names
-    if eq_lr is None:
-        vp = {"params": {"Conv_0": {"kernel": v["params"]["kernel"],
-                                    "bias": v["params"]["bias"]}}}
-    else:
-        vp = v
+    # the fused module's param tree AND seeded init draws must be IDENTICAL
+    # to the plain (upsample -> nn.Conv) formulation: same "Conv_0" path,
+    # so round-2 checkpoints load and seeded trajectories are preserved
+    vp = plain.init(jax.random.PRNGKey(0), u)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(vp))
+    for a, b2 in zip(jax.tree_util.tree_leaves(v),
+                     jax.tree_util.tree_leaves(vp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
     got = fused.apply(v, x)
     want = plain.apply(vp, u)
     assert got.shape == want.shape
@@ -349,6 +358,7 @@ def test_equalconv_s2d_stem_module(rng, eq_lr, monkeypatch):
     the same params and (up to reassociation) the same values."""
     from ot_vae_tpu.networks.nets_utils import EqualConv
 
+    monkeypatch.setenv("OT_VAE_S2D_CONV", "1")  # CPU defaults plain
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), F32)
     conv = EqualConv(12, (4, 4), (2, 2), padding=[(1, 2)] * 2,
                      equalized_lr=eq_lr)
