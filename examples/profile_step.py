@@ -118,6 +118,20 @@ def bucket(by_name):
     return agg
 
 
+def hlo_shapes(step, *args):
+    """Map HLO instruction name -> (shape, one-line def) from the compiled
+    module. Trace event names are HLO instruction names (modulo a lowered
+    suffix), so joining gives per-op SHAPES next to per-op durations —
+    without this the copy/fusion budget is unattributable."""
+    txt = step.lower(*args).compile().as_text()
+    out = {}
+    for line in txt.splitlines():
+        m = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = (\S+) ", line)
+        if m:
+            out[m.group(1)] = (m.group(2), line.strip()[:240])
+    return out
+
+
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     dtype = jnp.float32 if "f32" in sys.argv[1:] else jnp.bfloat16
@@ -126,6 +140,7 @@ if __name__ == "__main__":
     key = jax.random.PRNGKey(7)
     params, opt_state, variables, loss = step(params, opt_state, variables, key)
     float(loss)  # value-fetch sync (block_until_ready lies on this backend)
+    shapes = hlo_shapes(step, params, opt_state, variables, key)
     tracedir = "/tmp/jaxtrace"
     os.system(f"rm -rf {tracedir}")
     n_steps = 5
@@ -143,4 +158,16 @@ if __name__ == "__main__":
               f"{100*dur/total:5.1f}%")
     print("\ntop 30 ops:")
     for name, dur in by_name.most_common(30):
-        print(f"  {dur/n_steps/1000:8.3f} ms  {name[:110]}")
+        shape = shapes.get(name, ("?",))[0]
+        print(f"  {dur/n_steps/1000:8.3f} ms  {name[:60]:60s}  {shape[:60]}")
+    # per-category top offenders with HLO one-liners: the copy budget is
+    # only actionable once each copy has a shape + operand attached
+    for cat in ("copy", "fusion"):
+        keys = CATS[[c for c, _ in CATS].index(cat)][1]
+        members = [(n, d) for n, d in by_name.items()
+                   if any(k in n.lower() for k in keys)]
+        members.sort(key=lambda t: -t[1])
+        print(f"\ntop {cat} ops (with HLO):")
+        for name, dur in members[:12]:
+            _, line = shapes.get(name, ("?", "<not in compiled module>"))
+            print(f"  {dur/n_steps/1000:8.3f} ms  {line[:200]}")
