@@ -144,10 +144,20 @@ def _train_throughput(batch_size=250, inner=100, repeats=3, dtype=None,
     opt = optax.adam(1e-3)  # plain adam: same math, fori_loop-friendly state
     opt_state = opt.init(params)
 
+    # Pre-staged batch pool: real training reads batches the host already
+    # staged (transfer overlaps compute); synthesizing the input with
+    # jax.random.normal INSIDE the step charged ~5% of the measured step to
+    # the harness, not the model (profiled round 3: 0.5 ms of rng fusions at
+    # bs32). Cycling a >1-deep pool by loop index keeps every iteration's
+    # input distinct, so XLA still cannot hoist the encoder (the round-1
+    # constant-input defect).
+    pool = jax.random.normal(
+        jax.random.PRNGKey(3), (4, batch_size, *img_shape), xdtype)
+
     def one_step(carry, i, key, model=model):
         params, opt_state, mutable = carry
         k = jax.random.fold_in(key, i)
-        x = jax.random.normal(k, (batch_size, *img_shape), xdtype)
+        x = lax.dynamic_index_in_dim(pool, i % pool.shape[0], keepdims=False)
         pbatch = model.batch_preprocess((x, jnp.zeros((x.shape[0],), jnp.int32)),
                                         k, train=True)
 
@@ -274,6 +284,13 @@ def _big_bench(repeats=3):
         "train_bf16_head_dim64_no_s2d": _env_ab(
             "OT_VAE_S2D_CONV", "0", _train_throughput,
             build=hd64, dtype=jnp.bfloat16, **{**common, "ref_flops": False}),
+        # the production operating point: BENCH_CLIFF.json shows the step is
+        # HBM-bound at every batch size and bs128 runs at ~96% of its HBM
+        # roofline (the best per-image amortization before XLA tiling
+        # degrades at bs256) — this row records the headline MFU there
+        "train_bf16_head_dim64_bs128": _train_throughput(
+            build=hd64, dtype=jnp.bfloat16,
+            **{**common, "batch_size": 128, "inner": 40}),
     }
 
 

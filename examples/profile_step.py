@@ -41,9 +41,13 @@ def make_step(model, batch_size, dtype, img_shape=(128, 128, 3)):
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
+    # pre-staged input pool (mirrors bench.py): the profile should charge
+    # the model, not on-device synthesis of the batch
+    pool = jax.random.normal(
+        jax.random.PRNGKey(3), (2, batch_size, *img_shape), xdtype)
+
     @jax.jit
-    def step(params, opt_state, mutable, key):
-        x = jax.random.normal(key, (batch_size, *img_shape), xdtype)
+    def step(params, opt_state, mutable, key, x):
         pbatch = model.batch_preprocess(
             (x, jnp.zeros((x.shape[0],), jnp.int32)), key, train=True)
 
@@ -58,7 +62,7 @@ def make_step(model, batch_size, dtype, img_shape=(128, 128, 3)):
         params = optax.apply_updates(params, updates)
         return params, opt_state, {**mutable, **mutated}, loss
 
-    return step, params, opt_state, variables
+    return step, params, opt_state, variables, pool
 
 
 CATS = [
@@ -136,18 +140,20 @@ if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     dtype = jnp.float32 if "f32" in sys.argv[1:] else jnp.bfloat16
     model = bench._build_big_model(dtype=dtype, attn_head_dim=64)
-    step, params, opt_state, variables = make_step(model, bs, dtype)
+    step, params, opt_state, variables, pool = make_step(model, bs, dtype)
     key = jax.random.PRNGKey(7)
-    params, opt_state, variables, loss = step(params, opt_state, variables, key)
+    params, opt_state, variables, loss = step(
+        params, opt_state, variables, key, pool[0])
     float(loss)  # value-fetch sync (block_until_ready lies on this backend)
-    shapes = hlo_shapes(step, params, opt_state, variables, key)
+    shapes = hlo_shapes(step, params, opt_state, variables, key, pool[0])
     tracedir = "/tmp/jaxtrace"
     os.system(f"rm -rf {tracedir}")
     n_steps = 5
     with jax.profiler.trace(tracedir):
         for i in range(n_steps):
             params, opt_state, variables, loss = step(
-                params, opt_state, variables, jax.random.fold_in(key, i))
+                params, opt_state, variables, jax.random.fold_in(key, i),
+                pool[i % pool.shape[0]])
         float(loss)
     by_name, total, f = parse_trace(tracedir)
     agg = bucket(by_name)

@@ -63,6 +63,24 @@ def test_vit_config_builds():
     assert model.conditional
 
 
+def test_all_shipped_configs_build():
+    """Every YAML shipped under configs/ parses, links, and instantiates
+    (model, datamodule, trainer) — guards production recipes like
+    ffhq128.yaml that no e2e test exercises (datamodule setup stays lazy,
+    so disk-backed datasets need no files here). sweep.yaml is a sweep
+    SPEC consumed by config.sweep, not a trainer config."""
+    import glob
+
+    paths = sorted(glob.glob("configs/*/*.yaml"))
+    assert len(paths) >= 5
+    for path in paths:
+        if path.endswith("sweep.yaml"):
+            continue
+        cfg = load_configs([path])
+        model, dm, trainer = build(cfg)
+        assert model is not None and dm is not None and trainer is not None
+
+
 def test_precision_link_threads_bf16_dtype():
     """Top-level ``precision: bf16`` fills network dtype=bfloat16 without
     touching user-set values (reference: Lightning AMP `precision: 16`,
