@@ -206,8 +206,19 @@ def upsample_conv(
         return jnp.broadcast_to(
             y[:, :, None, :, None, :], (b, h, f, wd, f, f_out)
         ).reshape(b, h * f, wd * f, f_out)
-    # per-phase aggregated kernels, stacked on the output-channel dim in
-    # (cout, dh, dw) order so feature groups stay contiguous blocks
+    # Per-phase aggregated kernels. Output-channel ordering decides the cost
+    # of the final interleave (profiled bs32/bf16: the (cout, dh, dw) order
+    # needs a 6-D transpose whose minor dim is F alone — at the decoder's
+    # F=64 levels that is a half-lane-utilized copy, ~0.11 ms/step each,
+    # fwd AND bwd, per upsample level):
+    #  - feature_group_count == 1 → (dh, dw, cout): depth-to-space is then
+    #    ONE 5-D transpose swapping (w ↔ dh) with a contiguous f·F minor
+    #    block (128 lanes at F=64, f=2), and both surrounding reshapes are
+    #    free (they merge adjacent dims in memory order). Same conv, same
+    #    per-element tap order — bit-identical outputs.
+    #  - grouped convs keep (cout, dh, dw): lax grouped conv requires output
+    #    channels of one input group to stay a contiguous block, which the
+    #    global phase-major order would violate.
     w32 = w.astype(jnp.float32)
     phases = []
     for dh in range(f):
@@ -215,14 +226,22 @@ def upsample_conv(
         for dw in range(f):
             aw = jnp.asarray(_phase_axis_matrix(k2, f, dw))
             phases.append(jnp.einsum("ab,bcif,dc->adif", ah, w32, aw))
-    kk = jnp.stack(phases, axis=-1)  # [k',k',I,F,f²]
-    kk = kk.reshape(*kk.shape[:3], f_out * f * f).astype(dtype or w.dtype)
     pad1, pad2 = _phase_padding(k1, f), _phase_padding(k2, f)
+    phase_major = feature_group_count == 1
+    if phase_major:
+        kk = jnp.stack(phases, axis=3)  # [k',k',I,f²,F]
+    else:
+        kk = jnp.stack(phases, axis=-1)  # [k',k',I,F,f²]
+    kk = kk.reshape(*kk.shape[:3], f_out * f * f).astype(dtype or w.dtype)
     z = jax.lax.conv_general_dilated(
         x, kk, (1, 1), [pad1, pad2],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=feature_group_count,
-    )  # [B,H,W,F·f²] with channel index (cout, dh, dw)
+    )  # [B,H,W,f²·F] (phase-major) or [B,H,W,F·f²] (cout-major)
+    if phase_major:
+        z = z.reshape(b, h, wd, f, f * f_out)
+        z = jnp.transpose(z, (0, 1, 3, 2, 4))  # [B,H,f,W,f·F], minor f·F
+        return z.reshape(b, h * f, wd * f, f_out)
     z = z.reshape(b, h, wd, f_out, f, f)
     return jnp.transpose(z, (0, 1, 4, 2, 5, 3)).reshape(b, h * f, wd * f, f_out)
 
