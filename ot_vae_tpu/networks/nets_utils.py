@@ -247,13 +247,14 @@ def upsample_conv(
 
 
 def _tpu_fusion_default(env_name: str) -> bool:
-    """Shared default rule for numerics-reassociating fusions (fused
-    upsample-conv, space-to-depth stem — same pattern as the fused
-    attention kernel's gate): ``=1`` forces on, ``=0`` forces off, unset →
-    on only when the default backend is TPU. CPU keeps the reference-exact
-    formulation so the seeded parity-gate floors stay on the trajectories
-    they were derived on; TPU (where floors are re-derived by drives) gets
-    the MXU-optimal path."""
+    """Default rule for numerics-reassociating fusions that WIN on TPU
+    (fused upsample-conv — same pattern as the fused attention kernel's
+    gate): ``=1`` forces on, ``=0`` forces off, unset → on only when the
+    default backend is TPU. CPU keeps the reference-exact formulation so
+    the seeded parity-gate floors stay on the trajectories they were
+    derived on; TPU (where floors are re-derived by drives) gets the
+    MXU-optimal path. (The s2d stem used this gate until it was measured
+    a net loss — see :func:`_s2d_applicable` — and demoted to opt-in.)"""
     v = os.environ.get(env_name)
     if v == "0":
         return False
@@ -325,9 +326,14 @@ def strided_conv_s2d(
 def _s2d_applicable(x, stride, kernel_size, padding, feature_group_count,
                     max_in_features: int = 4) -> bool:
     """Route a strided conv through :func:`strided_conv_s2d`? Only where the
-    lane-padding win exists (tiny Cin — image-boundary stems) and the exact
-    transform's preconditions hold. ``OT_VAE_S2D_CONV=0`` disables (A/B
-    escape hatch, same params either way)."""
+    lane-padding win could exist (tiny Cin — image-boundary stems) and the
+    exact transform's preconditions hold. OPT-IN (``OT_VAE_S2D_CONV=1``,
+    same params either way): measured on the FFHQ128-scale train step the
+    decomposition is a consistent small LOSS on this chip once the rest of
+    the stack is optimized — disabling it runs +2.7% bf16 bs32
+    (3086→3170 img/s), +1.5% bf16 bs128 (4143→4206), +2.9% f32 bs32
+    (2509→2582); XLA evidently handles the padded-lane stem conv better
+    than the extra transpose+reshape the phase-stacking costs."""
     s = tuple(stride) if not isinstance(stride, int) else (stride, stride)
     if s[0] != s[1] or s[0] < 2 or feature_group_count != 1:
         return False
@@ -335,7 +341,7 @@ def _s2d_applicable(x, stride, kernel_size, padding, feature_group_count,
         return False
     if x.shape[1] % s[0] or x.shape[2] % s[0]:
         return False
-    if not _tpu_fusion_default("OT_VAE_S2D_CONV"):
+    if os.environ.get("OT_VAE_S2D_CONV") != "1":
         return False
     if not (isinstance(padding, (list, tuple)) and len(padding) == 2
             and all(isinstance(p, (list, tuple)) and len(p) == 2
