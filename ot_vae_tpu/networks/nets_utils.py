@@ -333,7 +333,9 @@ def _s2d_applicable(x, stride, kernel_size, padding, feature_group_count,
     the stack is optimized — disabling it runs +2.7% bf16 bs32
     (3086→3170 img/s), +1.5% bf16 bs128 (4143→4206), +2.9% f32 bs32
     (2509→2582); XLA evidently handles the padded-lane stem conv better
-    than the extra transpose+reshape the phase-stacking costs."""
+    than the extra transpose+reshape the phase-stacking costs. (The one
+    measured s2d WIN is the MNIST32 Cin=1 stem, +1.5% train bf16 — a <1%
+    MFU fixed-cost model; not worth a Cin-conditional default.)"""
     s = tuple(stride) if not isinstance(stride, int) else (stride, stride)
     if s[0] != s[1] or s[0] < 2 or feature_group_count != 1:
         return False
