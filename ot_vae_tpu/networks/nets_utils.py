@@ -541,9 +541,10 @@ _FUSED_ATTN_MIN_T = 512
 
 def _use_fused_attention(t: int, ch: int, backend: str, flag: Optional[str]) -> bool:
     """Dispatch policy for the Pallas attention kernel (pure, testable)."""
-    from ot_vae_tpu.ops.attention_pallas import fused_attention_available
+    from ot_vae_tpu.ops.attention_pallas import fused_attention_packed_available
 
-    if flag == "0" or backend != "tpu" or not fused_attention_available(t, ch):
+    if (flag == "0" or backend != "tpu"
+            or not fused_attention_packed_available(t, ch)):
         return False
     return flag == "1" or t >= _FUSED_ATTN_MIN_T
 
@@ -561,12 +562,6 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     assert width % (3 * n_heads) == 0, f"width {width} not divisible by 3*{n_heads}"
     ch = width // (3 * n_heads)
     c = n_heads * ch
-    # unpack via channel slices (same element order as a [B,T,3,H,C] reshape
-    # + split, but the 5-D interleaved reshape forced ~0.2 ms layout copies
-    # per attention block on TPU in both fwd and transpose passes)
-    q = qkv[..., :c].reshape(b, t, n_heads, ch)
-    k = qkv[..., c:2 * c].reshape(b, t, n_heads, ch)
-    v = qkv[..., 2 * c:].reshape(b, t, n_heads, ch)
 
     # Fused VMEM-resident kernel (ops/attention_pallas.py): DEFAULT for long
     # sequences on TPU, where XLA's O(T²) HBM logits round-trip dominates —
@@ -575,6 +570,11 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     # (b32·h4·t256·d64: 0.93 ms einsum vs 1.29 ms fused), so the einsum path
     # stays the default below _FUSED_ATTN_MIN_T. OT_VAE_FUSED_ATTN=1 forces
     # the kernel at every eligible shape; =0 disables it entirely.
+    # The kernel consumes the packed [B, T, 3·H·C] projection DIRECTLY and
+    # returns the packed gradient: head split/merge and dqkv re-assembly are
+    # VMEM column slices inside the kernel, so the [B,T,H,C]↔[B,H,T,C]
+    # layout copies that cost 16% of the bs128 train step (round-3 profile)
+    # never exist in HBM.
     # The other shape lever that is real: head_dim ≥ 64 (CNN attn_head_dim
     # knob) runs ~2× faster than the reference's div_sqrt heads at equal
     # channels (BENCH_DETAIL.md).
@@ -582,11 +582,16 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
 
     if _use_fused_attention(t, ch, jax.default_backend(),
                             os.environ.get("OT_VAE_FUSED_ATTN")):
-        from ot_vae_tpu.ops.attention_pallas import fused_attention
+        from ot_vae_tpu.ops.attention_pallas import fused_attention_packed
 
-        tr = lambda x: jnp.swapaxes(x, 1, 2)  # noqa: E731  [B,H,T,C]
-        out = fused_attention(tr(q), tr(k), tr(v), 1.0 / np.sqrt(ch))
-        return tr(out).reshape(b, t, n_heads * ch)
+        return fused_attention_packed(qkv, n_heads, 1.0 / np.sqrt(ch))
+
+    # unpack via channel slices (same element order as a [B,T,3,H,C] reshape
+    # + split, but the 5-D interleaved reshape forced ~0.2 ms layout copies
+    # per attention block on TPU in both fwd and transpose passes)
+    q = qkv[..., :c].reshape(b, t, n_heads, ch)
+    k = qkv[..., c:2 * c].reshape(b, t, n_heads, ch)
+    v = qkv[..., 2 * c:].reshape(b, t, n_heads, ch)
 
     scale = float(1.0 / np.sqrt(np.sqrt(ch)))
     logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)

@@ -37,6 +37,17 @@ Numerics match the einsum reference to ~1e-6 f32 at test shapes (softmax
 in f32 regardless of input dtype, like the XLA path;
 tests/test_attention_pallas.py) and to reduction-reorder level at T=1024
 on TPU (~2e-4 f32 / ~1e-3 bf16 max-abs, same order as XLA-vs-XLA rerolls).
+
+PACKED LAYOUT (round 3): ``fused_attention_packed`` consumes the conv's
+[B, T, 3·H·C] qkv projection directly (grid over batch, static in-kernel
+head loop over VMEM column slices) and its VJP emits the packed dqkv —
+the [B,T,H,C]↔[B,H,T,C] transposes and dq/dk/dv re-assembly around the
+BHTC kernel were ~0.2 ms HBM layout copies each at the bs128 production
+point. Measured (TPU v5e, b128·h2·t1024·d64 bf16, fwd+bwd,
+value-fetch-synced): 3.87 ms packed vs 5.00 ms BHTC+transposes (1.29×)
+vs 6.44 ms einsum (1.66×); outputs bit-identical to the BHTC kernel.
+``spatial_attention`` dispatches to the packed kernel; the BHTC entry
+point stays for odd head dims and as the oracle in tests.
 """
 from __future__ import annotations
 
@@ -46,7 +57,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_attention", "fused_attention_available"]
+__all__ = [
+    "fused_attention",
+    "fused_attention_available",
+    "fused_attention_packed",
+    "fused_attention_packed_available",
+]
 
 # per-instance VMEM budget: the backward pass holds scores/P/dP [T,T] f32
 # (~4 MB each at T=1024) plus q/k/v/o/do [T,d] in ~16 MB of VMEM — T=1024
@@ -176,6 +192,185 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 def fused_attention_available(t: int, d: int) -> bool:
     """Shape window where the whole [T, T] instance fits VMEM."""
     return t <= _MAX_T and d <= _MAX_D
+
+
+# ---------------------------------------------------------------------------
+# Packed-qkv layout: the kernel consumes the conv's [B, T, 3·H·C] projection
+# DIRECTLY (one program per batch element, static loop over heads slicing
+# columns in VMEM) and its VJP emits the packed [B, T, 3·H·C] gradient the
+# projection's backward wants. Rationale (round-3 bs128 profile,
+# examples/profile_step.py): the [B,T,H,C]↔[B,H,T,C] head transposes and the
+# dq/dk/dv→dqkv re-assembly around the BHTC kernel were pure layout copies —
+# ~0.2 ms EACH on 33 MB tensors, several per attention block per pass,
+# 16% of the whole FFHQ128-scale train step in the `copy` category. The
+# packed kernel makes every one of them structurally impossible: HBM holds
+# only qkv/o/do/dqkv in the conv's native layout.
+# ---------------------------------------------------------------------------
+
+
+def _head_slices(width: int, n_heads: int, h: int):
+    """Column ranges of head ``h``'s q, k, v inside packed [.., 3·H·C]."""
+    ch = width // (3 * n_heads)
+    c = n_heads * ch
+    qs = slice(h * ch, (h + 1) * ch)
+    ks = slice(c + h * ch, c + (h + 1) * ch)
+    vs = slice(2 * c + h * ch, 2 * c + (h + 1) * ch)
+    return qs, ks, vs
+
+
+def _fwd_kernel_packed(qkv_ref, o_ref, l_ref, *, scale: float, n_heads: int):
+    # Same math as _fwd_kernel, per head, on column slices of the packed
+    # block. The head loop is a static Python loop (n_heads is trace-time);
+    # Mosaic frees each head's [T, T] scratch between iterations so peak
+    # VMEM matches the single-head kernel.
+    width = qkv_ref.shape[-1]
+    for h in range(n_heads):
+        qs, ks, vs = _head_slices(width, n_heads, h)
+        q = qkv_ref[0, :, qs]  # [T, C]
+        k = qkv_ref[0, :, ks]
+        v = qkv_ref[0, :, vs]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [T, T] f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(
+            (p / denom).astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, qs] = o.astype(o_ref.dtype)
+        l_ref[0, :, h:h + 1] = (m + jnp.log(denom)).astype(l_ref.dtype)
+
+
+def _bwd_kernel_packed(qkv_ref, o_ref, l_ref, do_ref, dqkv_ref,
+                       *, scale: float, n_heads: int):
+    # Flash-attention gradient algebra per head (see _bwd_kernel), writing
+    # dq/dk/dv straight into the packed dqkv column layout.
+    width = qkv_ref.shape[-1]
+    for h in range(n_heads):
+        qs, ks, vs = _head_slices(width, n_heads, h)
+        q = qkv_ref[0, :, qs]
+        k = qkv_ref[0, :, ks]
+        v = qkv_ref[0, :, vs]
+        o = o_ref[0, :, qs]
+        do = do_ref[0, :, qs]
+        lse = l_ref[0, :, h:h + 1].astype(jnp.float32)  # [T, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)  # [T, T] f32, rows sum to 1
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(  # Pᵀ dO → [T, C]
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # dO Vᵀ → [T, T]
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(  # dSᵀ Q → [T, C]
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[0, :, qs] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, ks] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, vs] = dv.astype(dqkv_ref.dtype)
+
+
+def _packed_spec(t, width):
+    return pl.BlockSpec((1, t, width), lambda i: (i, 0, 0))
+
+
+def _packed_lse_spec(t, n_heads):
+    # block == array dims on the last two axes → satisfies Mosaic's layout
+    # rule regardless of n_heads (same equality argument as _lse_spec)
+    return pl.BlockSpec((1, t, n_heads), lambda i: (i, 0, 0))
+
+
+def _packed_fwd_call(qkv, n_heads, scale, interpret):
+    b, t, width = qkv.shape
+    c = width // 3
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale, n_heads=n_heads),
+        grid=(b,),
+        in_specs=[_packed_spec(t, width)],
+        out_specs=(_packed_spec(t, c), _packed_lse_spec(t, n_heads)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, t, n_heads), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_packed(qkv, n_heads, scale, interpret):
+    return _packed_fwd_call(qkv, n_heads, scale, interpret)[0]
+
+
+def _fused_packed_fwd(qkv, n_heads, scale, interpret):
+    out, lse = _packed_fwd_call(qkv, n_heads, scale, interpret)
+    return out, (qkv, out, lse)
+
+
+def _fused_packed_bwd(n_heads, scale, interpret, res, do):
+    qkv, out, lse = res
+    b, t, width = qkv.shape
+    c = width // 3
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale, n_heads=n_heads),
+        grid=(b,),
+        in_specs=[
+            _packed_spec(t, width),   # qkv
+            _packed_spec(t, c),       # o
+            _packed_lse_spec(t, n_heads),
+            _packed_spec(t, c),       # do
+        ],
+        out_specs=_packed_spec(t, width),
+        out_shape=jax.ShapeDtypeStruct((b, t, width), qkv.dtype),
+        interpret=interpret,
+    )(qkv, out, lse, do)
+    return (dqkv,)
+
+
+_fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+
+
+def fused_attention_packed_available(t: int, d: int) -> bool:
+    """Shape window for the packed-qkv kernel.
+
+    Same VMEM window as the BHTC kernel plus a lane-alignment requirement:
+    in-VMEM column slices land on lane boundaries when the head dim is a
+    multiple of 8 (Mosaic relayouts cover the rest, but 8 keeps the slices
+    on native sublane×lane tiles for bf16/f32 alike).
+    """
+    return t <= _MAX_T and d <= _MAX_D and d % 8 == 0
+
+
+def fused_attention_packed(
+    qkv: jax.Array, n_heads: int, scale: float, interpret: bool = False,
+) -> jax.Array:
+    """softmax(scale · Q Kᵀ) V on a packed [B, T, 3·H·C] qkv projection.
+
+    Head split, transposes, and gradient re-assembly all happen as VMEM
+    column slices inside the kernel — HBM only ever holds the conv's
+    native packed layout (and its packed gradient).
+
+    :param qkv: [B, T, 3·H·C] packed queries/keys/values (q block first,
+        then k, then v; heads contiguous inside each block — the layout
+        ``spatial_attention`` receives from the qkv projection)
+    :param n_heads: number of attention heads H
+    :param scale: logit scale (1/sqrt(C) in the standard parameterization)
+    :return: [B, T, H·C] in qkv's dtype
+    """
+    b, t, width = qkv.shape
+    assert width % (3 * n_heads) == 0, (
+        f"packed qkv width {width} not divisible by 3·{n_heads}")
+    return _fused_packed(qkv, n_heads, float(scale), interpret)
 
 
 def fused_attention(

@@ -99,3 +99,98 @@ def test_spatial_attention_dispatch_unchanged_on_cpu():
     out = spatial_attention(qkv, h)
     assert out.shape == (b, t, h * c)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ---------------------------------------------------------------------------
+# Packed-qkv kernel (round 3): consumes [B, T, 3·H·C] directly, no HBM head
+# transposes (ops/attention_pallas.py packed section)
+# ---------------------------------------------------------------------------
+from ot_vae_tpu.ops.attention_pallas import (  # noqa: E402
+    fused_attention_packed,
+    fused_attention_packed_available,
+)
+
+
+def _packed_reference(qkv, n_heads):
+    """einsum reference on the packed layout (mirrors spatial_attention)."""
+    b, t, width = qkv.shape
+    ch = width // (3 * n_heads)
+    c = n_heads * ch
+    q = qkv[..., :c].reshape(b, t, n_heads, ch)
+    k = qkv[..., c:2 * c].reshape(b, t, n_heads, ch)
+    v = qkv[..., 2 * c:].reshape(b, t, n_heads, ch)
+    logits = jnp.einsum("bthc,bshc->bhts", q, k) / np.sqrt(ch)
+    w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(qkv.dtype)
+    out = jnp.einsum("bhts,bshc->bthc", w, v)
+    return out.reshape(b, t, n_heads * ch)
+
+
+@pytest.mark.parametrize("h,ch", [(1, 16), (2, 8), (4, 16), (3, 8)])
+def test_packed_forward_matches_einsum(h, ch):
+    rng = np.random.default_rng(10 + h)
+    b, t = 2, 32
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h * ch)), jnp.float32)
+    out = fused_attention_packed(qkv, h, 1.0 / np.sqrt(ch), interpret=True)
+    ref = _packed_reference(qkv, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("h,ch", [(2, 8), (4, 16)])
+def test_packed_gradients_match_einsum(h, ch):
+    """The packed VJP emits the full dqkv in one kernel; it must equal the
+    einsum path's gradient on the SAME packed input."""
+    rng = np.random.default_rng(20 + h)
+    b, t = 1, 24
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h * ch)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((b, t, h * ch)), jnp.float32)
+
+    def loss_fused(qkv):
+        return jnp.sum(
+            fused_attention_packed(qkv, h, 1.0 / np.sqrt(ch), interpret=True)
+            * co)
+
+    def loss_ref(qkv):
+        return jnp.sum(_packed_reference(qkv, h) * co)
+
+    gf = jax.grad(loss_fused)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_packed_matches_bhtc_kernel():
+    """Both kernel layouts compute the same function."""
+    rng = np.random.default_rng(30)
+    b, t, h, ch = 2, 32, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h * ch)), jnp.float32)
+    c = h * ch
+    split = lambda x: x.reshape(b, t, h, ch).swapaxes(1, 2)  # noqa: E731
+    q, k, v = (split(qkv[..., i * c:(i + 1) * c]) for i in range(3))
+    scale = 1.0 / np.sqrt(ch)
+    bhtc = fused_attention(q, k, v, scale, interpret=True)
+    packed = fused_attention_packed(qkv, h, scale, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(packed),
+        np.asarray(bhtc.swapaxes(1, 2).reshape(b, t, c)),
+        atol=2e-6, rtol=1e-5)
+
+
+def test_packed_bf16_inputs_finite_and_close():
+    rng = np.random.default_rng(31)
+    b, t, h, ch = 2, 32, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h * ch)), jnp.float32)
+    out = fused_attention_packed(
+        qkv.astype(jnp.bfloat16), h, 1.0 / np.sqrt(ch), interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _packed_reference(qkv, h)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+
+def test_packed_availability_window():
+    assert fused_attention_packed_available(1024, 64)
+    assert fused_attention_packed_available(512, 128)
+    assert not fused_attention_packed_available(4096, 64)   # VMEM window
+    assert not fused_attention_packed_available(256, 256)   # head dim cap
+    assert not fused_attention_packed_available(1024, 12)   # lane alignment
