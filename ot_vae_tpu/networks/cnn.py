@@ -56,7 +56,8 @@ class ConvLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False,
+                 materialize: bool = True):
         in_features = x.shape[-1]
         groups = self.groups if (in_features % self.groups == 0 and
                                  self.features % self.groups == 0) else 1
@@ -74,6 +75,21 @@ class ConvLayer(nn.Module):
             out = out * scale[:, None, None, :] + bias[:, None, None, :]
 
         out = act(out)
+
+        if not materialize:
+            # return the pre-conv activations plus the EFFECTIVE conv weight
+            # (and bias) instead of applying the conv — the fused attention
+            # block runs the contraction inside its Pallas kernel. Same
+            # EqualConv construction as below → identical parameter tree.
+            assert (self.kernel_size == 1 and not self.down_sample
+                    and not self.up_sample and self.dropout == 0
+                    and groups == 1), "materialize=False is 1×1/stride-1 only"
+            w, bias = EqualConv(
+                self.features, (1, 1), (1, 1), padding=[(0, 0)] * 2,
+                feature_group_count=groups, use_bias=self.use_bias,
+                equalized_lr=self.equalized_lr, dtype=self.dtype,
+            )(out, materialize=False)
+            return out, w, bias
 
         # nearest-neighbor upsampling is FUSED into the conv (exact phase
         # decomposition, nets_utils.upsample_conv): the ×factor² upsampled
@@ -116,12 +132,13 @@ class Conv1x1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+    def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False,
+                 materialize: bool = True):
         return ConvLayer(
             self.features, self.down_sample, self.up_sample, self.additional_embed,
             self.normalization, None, self.equalized_lr, 0.0, 1,
             self.groups, False, self.dtype,
-        )(x, embed, train)
+        )(x, embed, train, materialize)
 
 
 class AttentionBlock(nn.Module):
@@ -138,18 +155,55 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, embed: Optional[jax.Array] = None, train: bool = False):
+        import os
+
+        from ot_vae_tpu.networks.nets_utils import _use_fused_attention
+
         b, h, w, c = x.shape
-        qkv = Conv1x1(
+        t, head_dim = h * w, self.channels // max(self.heads, 1)
+        qkv_conv = Conv1x1(
             self.channels * 3, normalization=self.normalization,
             additional_embed=self.additional_embed,
             equalized_lr=self.equalized_lr, groups=self.groups, dtype=self.dtype,
-        )(x, embed, train)
-        out = spatial_attention(qkv.reshape(b, h * w, 3 * c), self.heads)
-        out = out.reshape(b, h, w, c)
-        return Conv1x1(
+        )
+        out_conv = Conv1x1(
             self.channels, equalized_lr=self.equalized_lr,
             groups=self.groups, dtype=self.dtype,
-        )(out, None, train)
+        )
+
+        # Fully-fused block (ops/attention_pallas.fused_attention_block):
+        # qkv projection + attention + out projection in one Pallas kernel —
+        # qkv [T, 3C] and the attention output never round-trip HBM. OPT-IN
+        # (OT_VAE_FUSED_ATTN_BLOCK=1): measured on the real v5e it LOSES to
+        # the default proj + packed-kernel path (bs128 t1024 c128: 4.25 vs
+        # 3.65 ms fwd+bwd; bs128 t256 c512: 3.52 vs 2.79 ms) — the weight
+        # matmuls re-run per grid program instead of as one XLA-batched GEMM,
+        # and that costs more than the saved qkv HBM round trip. Kept as a
+        # tested alternative (the balance may flip on HBM-poorer parts).
+        # Both Conv1x1 modules still own the parameters (identical tree and
+        # seeded init draws); materialize=False hands their effective
+        # weights to the kernel.
+        blk_flag = os.environ.get("OT_VAE_FUSED_ATTN_BLOCK")
+        interpret = blk_flag == "interpret"  # CPU-test escape hatch
+        if (self.groups == 1 and blk_flag in ("1", "interpret")
+                and (interpret
+                     or _use_fused_attention(t, head_dim, jax.default_backend(),
+                                             os.environ.get("OT_VAE_FUSED_ATTN")))):
+            from ot_vae_tpu.ops.attention_pallas import fused_attention_block
+
+            normed, w_qkv, b_qkv = qkv_conv(x, embed, train, materialize=False)
+            dummy = jnp.zeros((1, 1, 1, self.channels), normed.dtype)
+            _, w_out, b_out = out_conv(dummy, None, train, materialize=False)
+            assert b_qkv is None and b_out is None  # Conv1x1 is bias-free
+            out = fused_attention_block(
+                normed.reshape(b, t, normed.shape[-1]), w_qkv, w_out,
+                self.heads, 1.0 / math.sqrt(head_dim), interpret=interpret)
+            return out.reshape(b, h, w, self.channels)
+
+        qkv = qkv_conv(x, embed, train)
+        out = spatial_attention(qkv.reshape(b, h * w, 3 * c), self.heads)
+        out = out.reshape(b, h, w, c)
+        return out_conv(out, None, train)
 
 
 class ConvBlock(nn.Module):

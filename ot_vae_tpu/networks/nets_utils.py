@@ -414,6 +414,27 @@ class _StemConv(nn.Module):
         return y
 
 
+class _ConvKernel(nn.Module):
+    """Creates nn.Conv's parameters (same names, shapes, inits — mounted as
+    ``name="Conv_0"`` so the tree and the seeded init draws are identical to
+    the nn.Conv branch) WITHOUT applying the convolution. Used when a Pallas
+    kernel consumes the weights directly (fused attention block)."""
+
+    kshape: Any
+    use_bias: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", self.kernel_init, tuple(self.kshape),
+                       jnp.float32)
+        b = None
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (int(self.kshape[-1]),), jnp.float32)
+        return w, b
+
+
 class EqualConv(nn.Module):
     """NHWC conv with optional equalized learning rate.
 
@@ -421,6 +442,13 @@ class EqualConv(nn.Module):
     conv via the exact phase decomposition (:func:`upsample_conv`) — same
     math, no materialized upsampled tensor. Parameter SHAPES match the
     unfused (upsample → conv) formulation ([k,k,I,F] kernel, [F] bias).
+
+    ``__call__(x, materialize=False)`` skips the convolution and returns
+    ``(w_eff, bias)`` — the EFFECTIVE [fan_in, features] weight (equalized-LR
+    scaling applied, storage dtype preserved) for consumers that run the
+    contraction themselves (ops/attention_pallas.fused_attention_block).
+    The parameter tree and seeded init draws are identical to the
+    materializing branches.
     """
 
     features: int
@@ -435,7 +463,33 @@ class EqualConv(nn.Module):
     up_sample: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, materialize: bool = True):
+        if not materialize:
+            assert not (self.up_sample and self.up_sample > 1), (
+                "materialize=False is for plain (non-resampling) convs")
+            assert self.feature_group_count == 1
+            in_features = x.shape[-1]
+            kshape = (*self.kernel_size, in_features, self.features)
+            if self.equalized_lr is None:
+                w, bias = _ConvKernel(
+                    kshape, self.use_bias,
+                    self.kernel_init or nn.initializers.lecun_normal(),
+                    name="Conv_0",
+                )()
+            else:
+                lr_mult = self.equalized_lr
+                w = self.param(
+                    "kernel", nn.initializers.normal(stddev=1.0 / lr_mult),
+                    kshape, self.dtype,
+                ) * float(lr_mult / np.sqrt(int(np.prod(self.kernel_size))
+                                            * in_features))
+                bias = None
+                if self.use_bias:
+                    bias = self.param(
+                        "bias", nn.initializers.zeros,
+                        (self.features,), self.dtype,
+                    ) * lr_mult
+            return w.reshape(-1, self.features), bias
         if self.up_sample and self.up_sample > 1:
             assert tuple(self.strides) == (1, 1), "fused upsample needs stride 1"
             lr_mult = self.equalized_lr

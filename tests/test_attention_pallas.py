@@ -194,3 +194,112 @@ def test_packed_availability_window():
     assert not fused_attention_packed_available(4096, 64)   # VMEM window
     assert not fused_attention_packed_available(256, 256)   # head dim cap
     assert not fused_attention_packed_available(1024, 12)   # lane alignment
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused attention block (qkv proj + attention + out proj in one
+# kernel) — flax integration equivalence (networks/cnn.py AttentionBlock)
+# ---------------------------------------------------------------------------
+from ot_vae_tpu.ops.attention_pallas import (  # noqa: E402
+    fused_attention_block,
+    fused_attention_block_available,
+)
+
+
+def _block_reference(x, w_qkv, w_out, n_heads):
+    b, t, c = x.shape
+    cp = w_qkv.shape[-1] // 3
+    ch = cp // n_heads
+    qkv = x @ w_qkv
+    q = qkv[..., :cp].reshape(b, t, n_heads, ch)
+    k = qkv[..., cp:2 * cp].reshape(b, t, n_heads, ch)
+    v = qkv[..., 2 * cp:].reshape(b, t, n_heads, ch)
+    w = jax.nn.softmax(
+        jnp.einsum("bthc,bshc->bhts", q, k) / np.sqrt(ch), -1)
+    return jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, cp) @ w_out
+
+
+@pytest.mark.parametrize("h,ch", [(1, 16), (2, 8)])
+def test_block_kernel_forward_and_grads(h, ch):
+    rng = np.random.default_rng(40 + h)
+    b, t, c = 2, 32, 24
+    cp = h * ch
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((c, 3 * cp)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((cp, c)) * 0.1, jnp.float32)
+    co = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    scale = 1.0 / np.sqrt(ch)
+
+    out = fused_attention_block(x, wq, wo, h, scale, interpret=True)
+    ref = _block_reference(x, wq, wo, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    lf = lambda *a: jnp.sum(  # noqa: E731
+        fused_attention_block(*a, h, scale, interpret=True) * co)
+    lr = lambda *a: jnp.sum(_block_reference(*a, h) * co)  # noqa: E731
+    gf = jax.grad(lf, (0, 1, 2))(x, wq, wo)
+    gr = jax.grad(lr, (0, 1, 2))(x, wq, wo)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_attention_block_module_fused_equals_unfused(monkeypatch):
+    """AttentionBlock with OT_VAE_FUSED_ATTN_BLOCK=interpret (fused Pallas
+    block, interpret mode) must produce the same params tree, the same
+    outputs, and the same gradients as the unfused projections+einsum path."""
+    from ot_vae_tpu.networks.cnn import AttentionBlock
+
+    blk = AttentionBlock(channels=16, heads=2, normalization="groupnorm")
+    rng = np.random.default_rng(50)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 16)), jnp.float32)
+
+    monkeypatch.delenv("OT_VAE_FUSED_ATTN_BLOCK", raising=False)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    out_unfused = blk.apply(variables, x)
+
+    def loss(v, x):
+        return jnp.sum(blk.apply(v, x) ** 2)
+
+    g_unfused = jax.grad(loss)(variables, x)
+
+    monkeypatch.setenv("OT_VAE_FUSED_ATTN_BLOCK", "interpret")
+    variables_fused = blk.init(jax.random.PRNGKey(0), x)
+    # identical tree AND identical seeded init draws across the dispatch
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, variables_fused))
+    out_fused = blk.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_unfused),
+                               atol=1e-5, rtol=1e-5)
+    g_fused = jax.grad(loss)(variables, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4),
+        g_unfused, g_fused)
+
+
+def test_attention_block_batchnorm_stats_match_across_dispatch(monkeypatch):
+    """batch_stats updates (train mode) are identical across the fused
+    dispatch — the norm runs OUTSIDE the kernel."""
+    from ot_vae_tpu.networks.cnn import AttentionBlock
+
+    blk = AttentionBlock(channels=16, heads=2, normalization="batchnorm")
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 16)), jnp.float32)
+
+    monkeypatch.delenv("OT_VAE_FUSED_ATTN_BLOCK", raising=False)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    out_u, mut_u = blk.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    monkeypatch.setenv("OT_VAE_FUSED_ATTN_BLOCK", "interpret")
+    out_f, mut_f = blk.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               atol=1e-5, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6),
+        mut_u, mut_f)
