@@ -438,7 +438,12 @@ def _ot_core_bench(repeats=3, inner=50):
     from jax import lax
 
     from ot_vae_tpu.ops.matrix import sqrtm, sqrtm_ns
-    from ot_vae_tpu.ops.w2 import sinkhorn_log
+    from ot_vae_tpu.ops.w2 import (
+        batch_w2_dissimilarity_gaussian,
+        compute_transport_operators,
+        sinkhorn_log,
+        w2_gaussian,
+    )
 
     results = {}
     key = jax.random.PRNGKey(0)
@@ -465,6 +470,28 @@ def _ot_core_bench(repeats=3, inner=50):
     spd = m @ jnp.swapaxes(m, -1, -2) + 128 * jnp.eye(128)
     results["sqrtm_eigh_64x128_ms"] = loop_ms(sqrtm, spd)
     results["sqrtm_newton_schulz_64x128_ms"] = loop_ms(sqrtm_ns, spd)
+
+    # W2/Monge pipelines: eigh (spectral) vs polar (matmul-only, MXU) on the
+    # GaussianTransport production shape (per-channel transport of a 128-dim
+    # latent) and the GMM cost matrix (16×16 pairs of 64-dim components)
+    mu = jax.random.normal(key, (64, 128)) * 0.1
+    w2_in = (spd / 128.0, jnp.roll(spd / 128.0, 1, axis=0))
+    for meth in ("eigh", "polar"):
+        results[f"w2_gaussian_64x128_{meth}_ms"] = loop_ms(
+            lambda c, meth=meth: w2_gaussian(mu, mu, c, w2_in[1], method=meth),
+            w2_in[0], n=8)
+        results[f"transport_ops_64x128_{meth}_ms"] = loop_ms(
+            lambda c, meth=meth: compute_transport_operators(
+                c, w2_in[1], stochastic=True, diag=False, method=meth)[0],
+            w2_in[0], n=8)
+    mg = jax.random.normal(key, (16, 64, 64), jnp.float32)
+    gmm_cov = mg @ jnp.swapaxes(mg, -1, -2) + 64 * jnp.eye(64)
+    gmm_mu = jax.random.normal(key, (16, 64))
+    for meth in ("eigh", "polar"):
+        results[f"gmm_cost_16x16x64_{meth}_ms"] = loop_ms(
+            lambda c, meth=meth: batch_w2_dissimilarity_gaussian(
+                gmm_mu, gmm_mu, c, jnp.roll(c, 1, 0), make_pd=True, method=meth),
+            gmm_cov, n=8)
 
     # Sinkhorn 512×512 log-domain (the op is ~29 ms, so fewer instances)
     ka, kb = jax.random.split(key)

@@ -29,6 +29,8 @@ __all__ = [
     "sqrtm_and_invsqrtm",
     "sqrtm_ns",
     "invsqrtm_ns",
+    "polar",
+    "psd_projection",
     "is_symmetric",
     "min_eig",
     "is_pd",
@@ -79,14 +81,20 @@ def _use_ns(matrices: jax.Array, method: str) -> bool:
     QR-style iterations that never touch the MXU, while NS is pure batched
     matmuls.
 
-    **Why the library DEFAULT is eigh anyway** (measured, this round): the
-    f32 NS iteration handles true covariances fine (~1e-6 rel error at
-    κ=1e2, ~4e-6 at κ=1e4), but the Gelbrich-W2 hot path takes square roots
-    of PRODUCT matrices (√Ct·Cs·√Ct), which arrive numerically indefinite at
-    the ~0.5% level once any upstream factor carries NS error — eigh clamps
-    those eigenvalues, NS diverges to inf. ``"auto"`` therefore remains an
-    explicit caller opt-in meaning "my input is a genuine (near-)PSD
-    covariance": it uses NS on TPU and eigh elsewhere.
+    **Why the sqrtm DEFAULT is eigh anyway** (measured): the f32 NS
+    iteration handles true covariances fine (~1e-6 rel error at κ=1e2,
+    ~4e-6 at κ=1e4), but it diverges to inf on numerically indefinite
+    input — e.g. the W2 PRODUCT matrices (√Ct·Cs·√Ct), which arrive
+    indefinite at the ~0.5% level once any upstream factor carries NS
+    error; eigh clamps those eigenvalues instead. ``"auto"`` therefore
+    remains an explicit caller opt-in meaning "my input is a genuine
+    (near-)PSD covariance": it uses NS on TPU and eigh elsewhere.
+
+    NOTE: the W2/Monge layer no longer hits this case at all — its
+    ``method="auto"`` default routes TPU through the POLAR reformulation
+    (ops/w2.py:_polar_path), which only ever roots genuine covariances and
+    is both faster and more accurate than the f32 eigh pipeline
+    (BENCH_DETAIL.md "OT core").
     """
     if method == "auto":
         return jax.default_backend() == "tpu" and matrices.shape[-1] >= 16
@@ -140,7 +148,9 @@ def sqrtm_and_invsqrtm(
     return sqrt, isqrt
 
 
-def _ns_iterations(matrices: jax.Array, num_iters: int) -> Tuple[jax.Array, jax.Array]:
+def _ns_iterations(
+    matrices: jax.Array, num_iters: int, refine: int = 2
+) -> Tuple[jax.Array, jax.Array]:
     """Coupled Newton–Schulz iteration returning (sqrt(A), invsqrt(A)).
 
     Matmul-only — runs on the MXU. Converges quadratically for matrices with
@@ -156,7 +166,8 @@ def _ns_iterations(matrices: jax.Array, num_iters: int) -> Tuple[jax.Array, jax.
     # sqrt(Ct)·Cs·sqrt(Ct) inside w2_gaussian, whose condition number is the
     # PRODUCT of the factors') sit outside the f32 convergence basin and the
     # iteration emits NaN.
-    a = matrices / norm + 1e-6 * eye
+    a0 = matrices / norm
+    a = a0 + 1e-6 * eye
 
     # HIGHEST precision is load-bearing: TPU matmuls default to bf16 inputs
     # and the quadratically-converging NS iteration amplifies bf16 rounding
@@ -171,8 +182,90 @@ def _ns_iterations(matrices: jax.Array, num_iters: int) -> Tuple[jax.Array, jax.
         return mm(y, t), mm(t, z)
 
     y, z = lax.fori_loop(0, num_iters, body, (a, eye))
+
+    # The ridge biases eigenvalues near it: z → (λ+r)^-½ instead of λ^-½,
+    # a ~δ/2 relative error with δ = r/(λ+r) (measured 2.8% on a κ=2e4
+    # covariance, where the inverse root is the accuracy-critical factor of
+    # the Monge operators). Newton-refine z against the UNRIDGED input — δ
+    # drops quadratically (δ → 3δ²/4: 2 steps take 2.5e-2 → 1.6e-7) and
+    # exact-zero eigenvalues stay bounded (z grows 1.5×/step there, matching
+    # the eigh clamp's 1/√ε scale). y keeps the ridged iterate: its bias is
+    # an ABSOLUTE √r ≈ 1e-3·√‖A‖ error confined to near-null eigenvalues
+    # (measured 8e-5 relative) — recovering y as A·z would trade that for a
+    # larger error from the λ·z product in those same directions.
+    for _ in range(refine):
+        z = 0.5 * mm(z, 3.0 * eye - mm(a0, mm(z, z)))
     sqrt_norm = jnp.sqrt(norm)
     return y * sqrt_norm, z / sqrt_norm
+
+
+def polar(
+    matrices: jax.Array, num_iters_lift: int = 12, num_iters_refine: int = 8
+) -> jax.Array:
+    """Orthogonal polar factor U of a batch of square matrices [*, D, D].
+
+    ``M = U @ H`` with ``H = (MᵀM)^½`` symmetric PSD; equivalently U is the
+    nearest (semi-)orthogonal matrix to M. Matmul-only — runs on the MXU, no
+    eigh/SVD. Key properties (each is load-bearing for the W2 paths built on
+    top, see ops/w2.py):
+
+    * **Scale-invariant**: polar(cM) = polar(M), so the Frobenius pre-scaling
+      needs no undo.
+    * **Stable for ARBITRARY matrices** — unlike the Newton–Schulz *sqrtm*
+      iteration, which diverges on numerically indefinite inputs (the reason
+      eigh stays the sqrtm default, see :func:`_use_ns`), the polar iteration
+      only acts on singular values, which are nonnegative by definition.
+    * **Exact-zero singular values stay exactly zero** (every iterate is an
+      odd polynomial in M: ``X = M·q(MᵀM)``), giving pseudo-polar semantics
+      on rank-deficient input — the polar analog of the eigh paths'
+      eigenvalue clamp.
+
+    Iteration schedule: ``num_iters_lift`` quintic steps
+    ``X ← aX + b·X(XᵀX) + c·X(XᵀX)²`` with the globally-stable tuned
+    coefficients (3.4445, −4.7750, 2.0315) used for Newton–Schulz
+    orthogonalization in the Muon-optimizer literature (slope a≈3.44 at 0
+    lifts tiny singular values fast; the map keeps [0, 1.3] within itself),
+    then ``num_iters_refine`` cubic steps ``X ← 1.5X − 0.5·X(XᵀX)`` whose
+    quadratic convergence polishes to f32 round-off. Defaults resolve
+    singular-value ratios down to ~1e-6·σmax.
+    """
+    if matrices.shape[-1] != matrices.shape[-2]:
+        raise ValueError(f"polar expects square matrices, got {matrices.shape}")
+    norm = jnp.sqrt(jnp.sum(matrices**2, axis=(-2, -1), keepdims=True))
+    x0 = matrices / jnp.maximum(norm, STABILITY_CONST)
+
+    # bf16 rounding compounds over the polynomial recursion — keep f32 MXU
+    # passes (same rule as _ns_iterations).
+    mm = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
+    a, b, c = 3.4445, -4.7750, 2.0315
+
+    def lift(_, x):
+        xtx = mm(jnp.swapaxes(x, -1, -2), x)
+        x_xtx = mm(x, xtx)
+        return a * x + b * x_xtx + c * mm(x_xtx, xtx)
+
+    def refine(_, x):
+        return 1.5 * x - 0.5 * mm(x, mm(jnp.swapaxes(x, -1, -2), x))
+
+    x = lax.fori_loop(0, num_iters_lift, lift, x0)
+    x = lax.fori_loop(0, num_iters_refine, refine, x)
+    return x
+
+
+def psd_projection(matrices: jax.Array) -> jax.Array:
+    """Nearest PSD matrix (Frobenius) to each symmetric matrix in the batch:
+    negative eigenvalues clamp to zero, ``(A + |A|)/2`` with ``|A| = UᵀA``
+    and ``U = polar(A)``.
+
+    Matmul-only — the MXU-path alternative to :func:`make_psd` (which needs
+    ``eigvalsh``). Semantics differ slightly by design: ``make_psd`` shifts
+    the whole diagonal by |min eig| (the reference's correction,
+    ot_vae_lightning/ot/matrix_utils.py:123-142), this clamps only the
+    negative eigenvalues — strictly closer to the input, identical purpose
+    (both are no-ops on PSD input up to iteration round-off).
+    """
+    u = polar(matrices)
+    return symmetrize(0.5 * (matrices + jnp.swapaxes(u, -1, -2) @ matrices))
 
 
 def sqrtm_ns(matrices: jax.Array, num_iters: int = 20) -> jax.Array:

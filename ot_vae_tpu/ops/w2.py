@@ -32,6 +32,7 @@ from ot_vae_tpu.ops.matrix import (
     make_psd,
     mean_cov,  # noqa: F401  (re-exported, part of the W2 public surface)
     min_eig,
+    polar,
     sqrtm,
     sqrtm_and_invsqrtm,
     symmetrize,
@@ -39,6 +40,7 @@ from ot_vae_tpu.ops.matrix import (
 
 __all__ = [
     "w2_gaussian",
+    "bures_sqrt_trace",
     "batch_w2_dissimilarity_gaussian_diag",
     "batch_w2_dissimilarity_gaussian",
     "batch_ot_gmm",
@@ -51,7 +53,97 @@ __all__ = [
 ]
 
 
+def _polar_path(method: str) -> bool:
+    """Resolve the ``method`` knob of the W2 family.
+
+    ``"eigh"`` — spectral pipeline (the reference's formulation,
+    ot_vae_lightning/ot/w2_utils.py:40-80; robust, but TPU eigh lowers to
+    sequential QR iterations off the MXU — measured 27-52× slower than
+    matmul-only alternatives, BENCH_DETAIL.md).
+
+    ``"polar"`` — matmul-only reformulation. Every Bures-family quantity is
+    rewritten so the ONLY square roots taken are of genuine covariance
+    matrices (Newton–Schulz-safe), and the indefinite PRODUCT matrix
+    √Ct·Cs·√Ct — the input that forced eigh to stay the sqrtm default
+    (ops/matrix.py:_use_ns) — is never formed. Its square-root trace and the
+    Monge operators are obtained from the orthogonal polar factor
+    U = polar(√Ct·√Cs) instead, via::
+
+        tr (√Ct·Cs·√Ct)^½        = tr(Uᵀ·√Ct·√Cs)           (nuclear norm)
+        Cs^{-½}(√Cs·Ct·√Cs)^½Cs^{-½} = √Ct·U·Cs^{-½}         (eq. 17 operator)
+
+    and :func:`ot_vae_tpu.ops.matrix.polar` is stable for arbitrary
+    matrices because it only acts on (nonnegative) singular values.
+
+    ``"auto"`` — polar on TPU, eigh elsewhere (CPU oracle tests keep the
+    reference numerics; TPU gets the MXU path).
+    """
+    if method == "auto":
+        return jax.default_backend() == "tpu"
+    if method not in ("eigh", "polar"):
+        raise ValueError(f"unknown W2 method {method!r}")
+    return method == "polar"
+
+
+
+def _mm(*ms):
+    """Chained matmul at HIGHEST precision. TPU matmuls default to bf16
+    passes; the Monge-operator assembly sandwiches ill-conditioned factors
+    (‖Cs^{-½}‖ ~ 1/√λmin), so bf16 rounding in these products dominated the
+    operator error (measured: 36% max-entry T error vs the f64 oracle with
+    default precision, 0.8% with HIGHEST — at negligible cost for D ≤ a few
+    hundred). Every product that BUILDS an operator or distance goes through
+    here; bulk data paths keep their own precision policy.
+    """
+    out = ms[0]
+    for m in ms[1:]:
+        out = jnp.matmul(out, m, precision=lax.Precision.HIGHEST)
+    return out
 # ******************************************************************************************************************** #
+
+
+def _make_pd(cov: jax.Array, method: str) -> jax.Array:
+    """PSD-ize a symmetric covariance along the active pipeline, keeping the
+    reference's diagonal-SHIFT semantics (``make_psd``: A + |λmin|·I when
+    indefinite, ot_vae_lightning/ot/matrix_utils.py:123-142) on both paths.
+
+    The shift matters beyond positivity: covariances accumulated in f32
+    (streaming Σxxᵀ) arrive indefinite at the ~1e-4·λmax level, and the shift
+    re-floors ALL eigenvalues at that scale. Clamping only the negative ones
+    (:func:`psd_projection`) leaves near-zero eigenvalues near zero, which the
+    Monge map then amplifies ~√(λ_target/λ_floor) — measured 26% T deviation
+    on a TPU f32-Gram covariance vs 1% with the shift.
+
+    Polar path: shift by ‖(|A|−A)/2‖F — the Frobenius norm of the negative
+    part, an upper bound on |λmin| within √k of it (k = # negative
+    eigenvalues), computed from the same matmul-only polar factor with no
+    eigvalsh."""
+    sym = symmetrize(cov)
+    if _polar_path(method):
+        habs = symmetrize(_mm(jnp.swapaxes(polar(sym), -1, -2), sym))  # |A|
+        neg = 0.5 * (habs - sym)  # negative eigenvalue part (PSD)
+        shift = jnp.sqrt(jnp.sum(neg**2, axis=(-2, -1), keepdims=True))
+        return sym + shift * eye_like(sym)
+    return make_psd(sym)
+
+
+def bures_sqrt_trace(
+    cov_source: jax.Array, cov_target: jax.Array, method: str = "auto"
+) -> jax.Array:
+    """``tr (√Ct·Cs·√Ct)^½`` — the cross term of the Bures metric, batched
+    [*, D, D] → [*]. Shared by :func:`w2_gaussian` and the FID computation.
+
+    The polar path never forms the (numerically indefinite) product matrix:
+    with M = √Cs·√Ct it holds MᵀM = √Ct·Cs·√Ct, so the trace equals the
+    nuclear norm of M, i.e. tr(Uᵀ·M) with U = polar(M) — see
+    :func:`_polar_path` for the measured trade-off.
+    """
+    if _polar_path(method):
+        m = _mm(sqrtm(cov_source, method="ns"), sqrtm(cov_target, method="ns"))
+        return jnp.sum(polar(m) * m, axis=(-2, -1))
+    cov_target_sqrt = sqrtm(cov_target)
+    mix = symmetrize(_mm(cov_target_sqrt, cov_source, cov_target_sqrt))
+    return jnp.trace(sqrtm(mix), axis1=-2, axis2=-1)
 
 
 def w2_gaussian(
@@ -60,22 +152,23 @@ def w2_gaussian(
     cov_source: jax.Array,
     cov_target: jax.Array,
     make_pd: bool = False,
+    method: str = "auto",
 ) -> jax.Array:
     """Closed-form squared W2 (Gelbrich) distance between Gaussians.
 
     Batched: means [*, D], covariances [*, D, D] → [*]
     (reference: ot_vae_lightning/ot/w2_utils.py:40-80).
+    ``method``: "eigh" | "polar" | "auto" — see :func:`_polar_path`.
     """
     if make_pd:
-        cov_source = make_psd(symmetrize(cov_source))
-        cov_target = make_psd(symmetrize(cov_target))
-
-    cov_target_sqrt = sqrtm(cov_target)
-    mix = cov_target_sqrt @ cov_source @ cov_target_sqrt
-    mix = symmetrize(mix)
+        cov_source = _make_pd(cov_source, method)
+        cov_target = _make_pd(cov_target, method)
 
     mean_shift = jnp.sum((mean_source - mean_target) ** 2, axis=-1)
-    traces = jnp.trace(cov_source + cov_target - 2.0 * sqrtm(mix), axis1=-2, axis2=-1)
+    traces = (
+        jnp.trace(cov_source + cov_target, axis1=-2, axis2=-1)
+        - 2.0 * bures_sqrt_trace(cov_source, cov_target, method=method)
+    )
     return mean_shift + traces
 
 
@@ -112,6 +205,7 @@ def batch_w2_dissimilarity_gaussian(
     cov_source: jax.Array,
     cov_target: jax.Array,
     make_pd: bool = False,
+    method: str = "auto",
 ) -> jax.Array:
     """Pairwise W2² between full-covariance Gaussians.
 
@@ -122,13 +216,36 @@ def batch_w2_dissimilarity_gaussian(
     ot_vae_lightning/ot/w2_utils.py:183-189). Also fixes the reference's NaN
     defect (w2_utils.py:263 "TODO: This gives NaN !") by symmetrizing and
     eigenvalue-clamping inside ``w2_gaussian``.
+
+    The polar path (``method`` — see :func:`_polar_path`) additionally changes
+    the *complexity*: only N + M covariance square roots are taken (one per
+    distinct matrix, matmul-only) and the N·M pairwise work is pure batched
+    matmuls, where the eigh path must eigendecompose all N·M product matrices.
     """
+    if _polar_path(method):
+        if make_pd:
+            cov_source = _make_pd(cov_source, method)
+            cov_target = _make_pd(cov_target, method)
+        dist_mean = (
+            jnp.sum(mean_source**2, axis=-1, keepdims=True)
+            + jnp.sum(mean_target**2, axis=-1)[..., None, :]
+            - 2.0 * mean_source @ jnp.swapaxes(mean_target, -1, -2)
+        )
+        sqrt_s = sqrtm(cov_source, method="ns")  # [*, N, D, D]
+        sqrt_t = sqrtm(cov_target, method="ns")  # [*, M, D, D]
+        m = jnp.einsum("...nab,...mbc->...nmac", sqrt_s, sqrt_t,
+                       precision=lax.Precision.HIGHEST)
+        cross = jnp.sum(polar(m) * m, axis=(-2, -1))  # tr(UᵀM) per pair
+        tr_s = jnp.trace(cov_source, axis1=-2, axis2=-1)
+        tr_t = jnp.trace(cov_target, axis1=-2, axis2=-1)
+        return dist_mean + tr_s[..., :, None] + tr_t[..., None, :] - 2.0 * cross
     return w2_gaussian(
         mean_source[..., :, None, :],
         mean_target[..., None, :, :],
         cov_source[..., :, None, :, :],
         cov_target[..., None, :, :, :],
         make_pd=make_pd,
+        method=method,
     )
 
 
@@ -208,6 +325,7 @@ def batch_ot_gmm(
     diag: bool,
     weight_source: Optional[jax.Array] = None,
     weight_target: Optional[jax.Array] = None,
+    method: str = "auto",
     **sinkhorn_kwargs,
 ) -> Tuple[jax.Array, jax.Array]:
     """Entropy-regularized W2² between Gaussian mixtures (MW2 upper bound).
@@ -230,7 +348,8 @@ def batch_ot_gmm(
         )
     else:
         cost_matrix = batch_w2_dissimilarity_gaussian(
-            mean_source, mean_target, cov_source, cov_target, make_pd=True
+            mean_source, mean_target, cov_source, cov_target, make_pd=True,
+            method=method,
         )
 
     max_per_mat = jnp.max(cost_matrix, axis=(-2, -1), keepdims=True)
@@ -251,6 +370,7 @@ def gaussian_barycenter(
     weights: jax.Array,
     diag: bool,
     n_iter: int = 100,
+    method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """W2 barycenter of Gaussian components via fixed-point iteration
     (Alvarez-Esteban et al.; reference: ot_vae_lightning/ot/w2_utils.py:325-385).
@@ -276,9 +396,25 @@ def gaussian_barycenter(
         jnp.eye(cov.shape[-1], dtype=cov.dtype), cov.shape[:-3] + cov.shape[-2:]
     )[..., None, :, :]
 
+    if _polar_path(method):
+        # (√B·Cᵢ·√B)^½ = symmetrize(Uᵢᵀ·Mᵢ) with Mᵢ = Cᵢ^½·B^½ — the component
+        # square roots are hoisted out of the fixed-point loop (they do not
+        # change across iterations), and the per-iteration work is one
+        # barycenter sqrtm (a genuine covariance — NS-safe) + batched matmuls.
+        sqrt_c = sqrtm(cov, method="ns")  # [*, N, D, D], loop-invariant
+
+        def body(_, cov_b):
+            sqrt_b = sqrtm(cov_b, method="ns")
+            m = _mm(sqrt_c, sqrt_b)  # MᵢᵀMᵢ = √B·Cᵢ·√B
+            h = symmetrize(_mm(jnp.swapaxes(polar(m), -1, -2), m))
+            return jnp.sum(w_mat * h, axis=-3, keepdims=True)
+
+        cov_b = lax.fori_loop(0, n_iter, body, cov_b0)
+        return mean_b, jnp.squeeze(cov_b, axis=-3)
+
     def body(_, cov_b):
         sqrt_cov_b = sqrtm(cov_b)
-        mix = symmetrize(sqrt_cov_b @ cov @ sqrt_cov_b)
+        mix = symmetrize(_mm(sqrt_cov_b, cov, sqrt_cov_b))
         return jnp.sum(w_mat * sqrtm(mix), axis=-3, keepdims=True)
 
     cov_b = lax.fori_loop(0, n_iter, body, cov_b0)
@@ -309,32 +445,70 @@ def _transport_diag_stochastic(cov_source, cov_target, pg_star):
     return T, var_w
 
 
-def _transport_full(cov_source, cov_target, pg_star):
-    """Eq. 17 (full) — reference: ot_vae_lightning/ot/w2_utils.py:756-768."""
+def _transport_full(cov_source, cov_target, pg_star, method="eigh"):
+    """Eq. 17 (full) — reference: ot_vae_lightning/ot/w2_utils.py:756-768.
+
+    The polar path uses the identity
+    ``Cs^{-½}·(√Cs·Ct·√Cs)^½·Cs^{-½} = √Ct·U·Cs^{-½}`` with
+    ``U = polar(√Ct·√Cs)`` (proof: with M = √Ct·√Cs and M = UH it holds
+    H = (MᵀM)^½ = (√Cs·Ct·√Cs)^½ and √Ct·U·Cs^{-½} =
+    Ct·√Cs·H^{-1}·Cs^{-½} = Cs^{-½}·H²·H^{-1}·Cs^{-½} = Cs^{-½}·H·Cs^{-½}),
+    so the only square roots taken are of the two genuine covariances.
+    """
+    if _polar_path(method):
+        ridge = STABILITY_CONST * eye_like(cov_source)
+        sqrt_s, isqrt_s = sqrtm_and_invsqrtm(cov_source + ridge, method="ns")
+        sqrt_t = sqrtm(cov_target, method="ns")
+        u = polar(_mm(sqrt_t, sqrt_s))
+        T = (1.0 - pg_star) * symmetrize(_mm(sqrt_t, u, isqrt_s))
+        T = T + pg_star * eye_like(cov_source)
+        return T, jnp.zeros_like(T)
     sqrt_s, isqrt_s = sqrtm_and_invsqrtm(
         cov_source + STABILITY_CONST * eye_like(cov_source)
     )
-    inner = sqrtm(symmetrize(sqrt_s @ cov_target @ sqrt_s))
-    T = (1.0 - pg_star) * (isqrt_s @ inner @ isqrt_s) + pg_star * eye_like(cov_source)
+    inner = sqrtm(symmetrize(_mm(sqrt_s, cov_target, sqrt_s)))
+    T = (1.0 - pg_star) * _mm(isqrt_s, inner, isqrt_s) + pg_star * eye_like(cov_source)
     return T, jnp.zeros_like(T)
 
 
-def _transport_full_stochastic(cov_source, cov_target, pg_star):
-    """Eq. 19 (full) — reference: ot_vae_lightning/ot/w2_utils.py:774-793."""
+def _transport_full_stochastic(cov_source, cov_target, pg_star, method="eigh"):
+    """Eq. 19 (full) — reference: ot_vae_lightning/ot/w2_utils.py:774-793.
+
+    Polar path: the same U = polar(√Ct·√Cs) gives
+    ``√Ct·(√Ct·Cs·√Ct)^½·Ct^{-½}·Cs⁺ = √Ct·U·Cs^{+½}`` (eq. 19 collapses to
+    the eq. 17 form with pseudo-inverse semantics) and the reverse operator
+    ``T* = √Cs·Uᵀ·Ct^{-½}``; U annihilates the null space of √Ct·√Cs (polar
+    iterates are odd polynomials in the input), which is exactly the
+    zero-variance handling the eigh path gets from ``jnp.linalg.pinv``.
+    """
     identity = eye_like(cov_source)
+    if _polar_path(method):
+        ridge = STABILITY_CONST * identity
+        sqrt_s, isqrt_s = sqrtm_and_invsqrtm(cov_source + ridge, method="ns")
+        sqrt_t, isqrt_t = sqrtm_and_invsqrtm(cov_target + ridge, method="ns")
+        u = polar(_mm(sqrt_t, sqrt_s))
+        pinv_source = _mm(isqrt_s, isqrt_s)
+        T = (1.0 - pg_star) * symmetrize(_mm(sqrt_t, u, isqrt_s))
+        T = T + pg_star * identity
+        T_star = symmetrize(_mm(sqrt_s, jnp.swapaxes(u, -1, -2), isqrt_t))
+        Cw = math.sqrt(1.0 - pg_star) * _mm(
+            sqrt_t,
+            identity - _mm(sqrt_t, T_star, pinv_source, T_star, sqrt_t),
+            sqrt_t,
+        )
+        return T, Cw
     pinv_source = jnp.linalg.pinv(cov_source)
     sqrt_t, isqrt_t = sqrtm_and_invsqrtm(cov_target + STABILITY_CONST * identity)
 
     # Roles swapped on purpose: cov_source may be merely PSD.
     T_star = _transport_full(cov_source=cov_target, cov_target=cov_source, pg_star=0.0)[0]
 
-    inner = sqrtm(symmetrize(sqrt_t @ cov_source @ sqrt_t))
-    T = (1.0 - pg_star) * (sqrt_t @ inner @ isqrt_t @ pinv_source) + pg_star * identity
-    Cw = (
-        math.sqrt(1.0 - pg_star)
-        * sqrt_t
-        @ (identity - sqrt_t @ T_star @ pinv_source @ T_star @ sqrt_t)
-        @ sqrt_t
+    inner = sqrtm(symmetrize(_mm(sqrt_t, cov_source, sqrt_t)))
+    T = (1.0 - pg_star) * _mm(sqrt_t, inner, isqrt_t, pinv_source) + pg_star * identity
+    Cw = math.sqrt(1.0 - pg_star) * _mm(
+        sqrt_t,
+        identity - _mm(sqrt_t, T_star, pinv_source, T_star, sqrt_t),
+        sqrt_t,
     )
     return T, Cw
 
@@ -346,6 +520,7 @@ def compute_transport_operators(
     diag: bool,
     pg_star: float = 0.0,
     make_pd: bool = False,
+    method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched W2 transport operators, eq. 17/19 of Freirich, Michaeli, Meir,
     "A Theory of the Distortion-Perception Tradeoff in Wasserstein Space"
@@ -355,6 +530,7 @@ def compute_transport_operators(
     :param cov_target: [*, D, D] ([*, D] when ``diag``)
     :param stochastic: eq. 19 (T, Σw) if ``True``, else eq. 17 (T, 0)
     :param pg_star: perception-distortion ratio in [0, 1]
+    :param method: "eigh" | "polar" | "auto" — see :func:`_polar_path`
     :return: (T, Σw), each [*, D, D] ([*, D] when ``diag``)
 
     Where the reference warns and falls back globally when Σw is not PD
@@ -378,17 +554,25 @@ def compute_transport_operators(
         return _transport_diag(cov_source, cov_target, pg_star)
 
     if make_pd:
-        cov_source = make_psd(symmetrize(cov_source))
-        cov_target = make_psd(symmetrize(cov_target))
+        cov_source = _make_pd(cov_source, method)
+        cov_target = _make_pd(cov_target, method)
 
     if stochastic:
-        T, Cw = _transport_full_stochastic(cov_source, cov_target, pg_star)
-        T_det, Cw_det = _transport_full(cov_source, cov_target, pg_star)
-        min_eig_cw = min_eig(symmetrize(Cw))  # (upcasts sub-f32 for eigvalsh)
-        bad = (min_eig_cw < -STABILITY_CONST)[..., None, None]
+        T, Cw = _transport_full_stochastic(cov_source, cov_target, pg_star, method)
+        T_det, Cw_det = _transport_full(cov_source, cov_target, pg_star, method)
+        if _polar_path(method):
+            # PD test without eigh: Cholesky of (Cw + εI) succeeds iff
+            # min_eig(Cw) > -ε — the same admission rule as the eigh branch,
+            # at a fraction of the TPU cost.
+            shifted = symmetrize(Cw) + STABILITY_CONST * eye_like(Cw)
+            chol = jnp.linalg.cholesky(shifted.astype(jnp.float32))
+            bad = jnp.any(jnp.isnan(chol), axis=(-2, -1))[..., None, None]
+        else:
+            min_eig_cw = min_eig(symmetrize(Cw))  # (upcasts sub-f32 for eigvalsh)
+            bad = (min_eig_cw < -STABILITY_CONST)[..., None, None]
         return jnp.where(bad, T_det, T), jnp.where(bad, Cw_det, Cw)
 
-    return _transport_full(cov_source, cov_target, pg_star)
+    return _transport_full(cov_source, cov_target, pg_star, method)
 
 
 # ******************************************************************************************************************** #
@@ -416,7 +600,9 @@ def apply_transport(
     if diag:
         x_transported = T * x_centered
     else:
-        x_transported = jnp.squeeze(T @ x_centered[..., :, None], axis=-1)
+        x_transported = jnp.squeeze(
+            jnp.matmul(T, x_centered[..., :, None],
+                       precision=lax.Precision.HIGHEST), axis=-1)
     x_transported = x_transported + mean_target
 
     if Cw is not None and key is not None:
@@ -425,7 +611,9 @@ def apply_transport(
             noise = jnp.sqrt(jnp.clip(Cw, 0.0, None)) * eps
         else:
             scale = sqrtm(symmetrize(Cw))
-            noise = jnp.squeeze(scale @ eps[..., :, None], axis=-1)
+            noise = jnp.squeeze(
+                jnp.matmul(scale, eps[..., :, None],
+                           precision=lax.Precision.HIGHEST), axis=-1)
         x_transported = x_transported + noise
 
     return x_transported

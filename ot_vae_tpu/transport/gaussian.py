@@ -57,6 +57,10 @@ class GaussianTransport(TransportOperator):
     # plain sums (update_decay=None).
     compensated: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Spectral-pipeline selector for the W2/Monge math: "eigh" | "polar" |
+    # "auto" (polar-NS on TPU — matmul-only, MXU-resident; eigh elsewhere).
+    # See ot_vae_tpu/ops/w2.py:_polar_path for the measured trade-off.
+    method: str = "auto"
 
     @property
     def source_model(self) -> GaussianModel:
@@ -111,10 +115,11 @@ class GaussianTransport(TransportOperator):
             cov_t = jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(pt.cov)
         else:
             cov_s, cov_t = ps.cov, pt.cov
-        w2 = w2_gaussian(ps.mean, pt.mean, cov_s, cov_t, make_pd=self.make_pd)
+        w2 = w2_gaussian(ps.mean, pt.mean, cov_s, cov_t, make_pd=self.make_pd,
+                         method=self.method)
         T, Cw = compute_transport_operators(
             ps.cov, pt.cov, stochastic=self.stochastic, diag=self.diag,
-            pg_star=self.pg_star, make_pd=self.make_pd,
+            pg_star=self.pg_star, make_pd=self.make_pd, method=self.method,
         )
         state = state.replace(
             mean_source=ps.mean, mean_target=pt.mean, T=T, Cw=Cw,

@@ -48,6 +48,9 @@ class GMMTransport(TransportOperator):
     update_decay: Optional[float] = None
     sinkhorn_max_iter: int = 100
     dtype: jnp.dtype = jnp.float32
+    # W2 spectral-pipeline selector ("eigh" | "polar" | "auto") — see
+    # ot_vae_tpu/ops/w2.py:_polar_path. Only full-covariance paths use it.
+    method: str = "auto"
 
     @property
     def source_model(self) -> GMMModel:
@@ -98,7 +101,8 @@ class GMMTransport(TransportOperator):
         ps, pt = m.params(source), m.params(target)
         total_cost, coupling = batch_ot_gmm(
             ps.mean, pt.mean, ps.cov, pt.cov, self.diag,
-            ps.weights, pt.weights, max_iter=self.sinkhorn_max_iter,
+            ps.weights, pt.weights, method=self.method,
+            max_iter=self.sinkhorn_max_iter,
         )
         state = state.replace(
             source=source, target=target, plan=coupling.astype(self.dtype),
@@ -141,7 +145,7 @@ class GMMTransport(TransportOperator):
 
         T, Cw = compute_transport_operators(
             source_vars, target_vars, stochastic=self.stochastic, diag=self.diag,
-            pg_star=self.pg_star, make_pd=self.make_pd,
+            pg_star=self.pg_star, make_pd=self.make_pd, method=self.method,
         )
         return apply_transport(
             inputs, source_means, target_means, T,
