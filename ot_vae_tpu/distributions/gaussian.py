@@ -154,7 +154,7 @@ class GaussianModel:
         if self.diag:
             cov = jnp.clip(cov, STABILITY_CONST, None)
         else:
-            cov = make_psd(symmetrize(cov), strict=True)
+            cov = make_psd(symmetrize(cov), strict=True, method="auto")
         return GaussianParams(mean, cov)
 
     # ------------------------------------------------------------- evaluation
@@ -193,7 +193,7 @@ class GaussianModel:
         )
         if self.diag:
             return mean[..., None, :] + eps * jnp.sqrt(cov)[..., None, :]
-        chol = jnp.linalg.cholesky(make_psd(symmetrize(cov), strict=True))
+        chol = jnp.linalg.cholesky(make_psd(symmetrize(cov), strict=True, method="auto"))
         return mean[..., None, :] + jnp.einsum("...ij,...bj->...bi", chol, eps)
 
     def w2(self, params: GaussianParams, other: GaussianParams) -> jax.Array:

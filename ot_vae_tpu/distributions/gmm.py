@@ -160,7 +160,7 @@ class GMMModel:
         if self.diag:
             cov = jnp.clip(cov, STABILITY_CONST, None)
         else:
-            cov = make_psd(symmetrize(cov), strict=True)
+            cov = make_psd(symmetrize(cov), strict=True, method="auto")
         mean = jnp.where(hit[..., None], mean, state.mean)
         mask2 = hit[..., None] if self.diag else hit[..., None, None]
         cov = jnp.where(mask2, cov, state.cov)

@@ -303,11 +303,23 @@ def is_spd(matrices: jax.Array, strict: bool = True) -> jax.Array:
     return jnp.logical_and(is_symmetric(matrices), is_pd(matrices, strict=strict))
 
 
+def _neg_part_norm(matrices: jax.Array) -> jax.Array:
+    """‖(|A|−A)/2‖F for symmetric A — the Frobenius norm of the negative
+    eigenvalue part, an upper bound on |λmin⁻| within √k of it (k = number of
+    negative eigenvalues; exactly |λmin| when k ≤ 1). Matmul-only via the
+    polar factor: |A| = polar(A)ᵀ·A."""
+    mm = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
+    habs = symmetrize(mm(jnp.swapaxes(polar(matrices), -1, -2), matrices))
+    neg = 0.5 * (habs - matrices)
+    return jnp.sqrt(jnp.sum(neg**2, axis=(-2, -1)))
+
+
 def make_psd(
     matrices: jax.Array,
     strict: bool = False,
     return_correction: bool = False,
     diag: bool = False,
+    method: str = "eigh",
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Shift the diagonal by |min eigenvalue| where needed to make each matrix
     PSD (PD if ``strict``) — reference: ot_vae_lightning/ot/matrix_utils.py:123-142.
@@ -315,8 +327,23 @@ def make_psd(
     Unlike the reference this never warns or branches on data: the correction
     is computed and applied unconditionally (it is zero for matrices that are
     already PSD), which keeps the function jit-compatible.
+
+    ``method`` (full matrices only): ``"eigh"`` measures |λmin| exactly via
+    ``eigvalsh``; ``"polar"`` upper-bounds it by the negative-part Frobenius
+    norm (:func:`_neg_part_norm`) — matmul-only, so streaming fit/update
+    paths that re-PSD-ize covariances every batch stay off the TPU's slow
+    eigendecomposition; ``"auto"`` picks polar on TPU, eigh elsewhere. On
+    PSD input the polar correction is ~iteration round-off (≲1e-6·‖A‖F)
+    instead of exactly 0.
     """
-    smallest = jnp.min(matrices, axis=-1) if diag else min_eig(matrices)
+    if method == "auto":
+        method = "polar" if (jax.default_backend() == "tpu" and not diag) else "eigh"
+    if method not in ("eigh", "polar"):
+        raise ValueError(f"unknown make_psd method {method!r}")
+    if method == "polar" and not diag:
+        smallest = -_neg_part_norm(symmetrize(matrices))
+    else:
+        smallest = jnp.min(matrices, axis=-1) if diag else min_eig(matrices)
     correction = jnp.abs(jnp.clip(smallest, None, 0.0))
     if strict:
         correction = correction + STABILITY_CONST

@@ -117,14 +117,10 @@ def _make_pd(cov: jax.Array, method: str) -> jax.Array:
     Polar path: shift by ‖(|A|−A)/2‖F — the Frobenius norm of the negative
     part, an upper bound on |λmin| within √k of it (k = # negative
     eigenvalues), computed from the same matmul-only polar factor with no
-    eigvalsh."""
-    sym = symmetrize(cov)
-    if _polar_path(method):
-        habs = symmetrize(_mm(jnp.swapaxes(polar(sym), -1, -2), sym))  # |A|
-        neg = 0.5 * (habs - sym)  # negative eigenvalue part (PSD)
-        shift = jnp.sqrt(jnp.sum(neg**2, axis=(-2, -1), keepdims=True))
-        return sym + shift * eye_like(sym)
-    return make_psd(sym)
+    eigvalsh (ot_vae_tpu.ops.matrix.make_psd ``method="polar"``)."""
+    return make_psd(
+        symmetrize(cov), method="polar" if _polar_path(method) else "eigh"
+    )
 
 
 def bures_sqrt_trace(

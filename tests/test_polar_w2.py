@@ -81,6 +81,29 @@ def test_polar_rank_deficient_annihilates_null_space(rng):
     np.testing.assert_allclose(u, q1 @ np.diag(s > 0).astype(float) @ q2.T, atol=1e-4)
 
 
+def test_make_psd_polar_method(rng):
+    """make_psd(method='polar'): matmul-only diagonal shift — PSD output,
+    ~|λmin| correction (exact when one eigenvalue is negative), ≈no-op on
+    PSD input. Used by the streaming fit/update paths on TPU."""
+    from ot_vae_tpu.ops import make_psd
+
+    q, _ = np.linalg.qr(rng.standard_normal((10, 10)))
+    lam = np.linspace(1.0, 0.05, 10)
+    lam[-1] = -3e-2
+    a = q @ np.diag(lam) @ q.T
+    fixed, corr = make_psd(jnp.asarray(a), return_correction=True,
+                           method="polar")
+    assert np.linalg.eigvalsh(np.asarray(fixed)).min() > -1e-8
+    np.testing.assert_allclose(float(corr), 3e-2, rtol=1e-3)  # single neg eig
+
+    spd = q @ np.diag(np.abs(lam)) @ q.T
+    out = make_psd(jnp.asarray(spd), method="polar")
+    np.testing.assert_allclose(np.asarray(out), spd, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        make_psd(jnp.eye(4), method="svd")
+
+
 def test_psd_projection_clamps_negative_eigenvalues(rng):
     q, _ = np.linalg.qr(rng.standard_normal((12, 12)))
     lam = np.linspace(1.0, 0.01, 12)
