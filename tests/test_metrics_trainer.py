@@ -65,6 +65,36 @@ def test_fid_streaming(rng):
     assert np.isinf(float(fid.compute(st3)))
 
 
+def test_fid_host_path_matches_pytorch_fid_formula(rng):
+    """The concrete-state compute must equal the published pytorch-fid
+    pipeline computed directly from the features: float64, unbiased np.cov,
+    scipy.linalg.sqrtm(Σr·Σf) (pytorch_fid/fid_score.py)."""
+    import scipy.linalg
+
+    d = 24
+    feats_r = rng.standard_normal((500, d)) * 1.3 + 0.2
+    feats_f = rng.standard_normal((500, d)) * 0.9 - 0.1
+
+    fid = FrechetInceptionDistance(
+        feature_size=d, min_obs=100, feature_fn=lambda x: x
+    )
+    st = fid.update(fid.init(),
+                    samples=jnp.asarray(feats_r, jnp.float32),
+                    generated=jnp.asarray(feats_f, jnp.float32))
+    ours = float(fid.compute(st))
+
+    mu_r, mu_f = feats_r.mean(0), feats_f.mean(0)
+    cov_r, cov_f = np.cov(feats_r, rowvar=False), np.cov(feats_f, rowvar=False)
+    covmean = scipy.linalg.sqrtm(cov_r @ cov_f).real
+    oracle = ((mu_r - mu_f) ** 2).sum() + np.trace(cov_r + cov_f - 2 * covmean)
+    # f32 feature accumulation is the only divergence source
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4)
+
+    # the traced (jittable, on-device f32) fallback stays consistent
+    traced = float(jax.jit(fid.compute)(st))
+    np.testing.assert_allclose(traced, oracle, rtol=0.05, atol=0.05)
+
+
 def test_metric_collection_prefix():
     mc = MetricCollection({"psnr": PSNR()}, prefix="val/")
     states = mc.init()
