@@ -106,6 +106,25 @@ class _FIDState(struct.PyTreeNode):
     fake_sum: jax.Array
     fake_gram: jax.Array
     fake_n: jax.Array
+    # Kahan compensation buffers for the f32 streaming sums (SURVEY §7 hard
+    # parts: "FID's Gram state — keep fp32 + compensation"). Inception
+    # features have large means, so Gram/n − μμᵀ cancels ~2 decimal digits;
+    # uncompensated f32 accumulation over 50k samples moves FID by tenths of
+    # a point. Compensation is linear, so cross-process psum reduces each
+    # buffer independently and compute() folds them in.
+    real_sum_c: jax.Array
+    real_gram_c: jax.Array
+    fake_sum_c: jax.Array
+    fake_gram_c: jax.Array
+
+
+def _kahan_add(total, comp, add):
+    """One compensated-summation step; carries the rounding error forward
+    (same scheme as distributions/gaussian.py:_kahan_add)."""
+    y = add - comp
+    t = total + y
+    comp_new = (t - total) - y
+    return t, comp_new
 
 
 def _default_features(feature_size: int) -> Callable:
@@ -152,22 +171,30 @@ class FrechetInceptionDistance(Metric):
 
     def init(self):
         d = self.feature_size
-        z = jnp.zeros
-        return _FIDState(z((d,)), z((d, d)), z(()), z((d,)), z((d, d)), z(()))
+        # explicitly f32: the production dtype everywhere (x64 is test-only),
+        # and the compensated-summation design target — under x64 a default
+        # jnp.zeros would silently make the state f64 and diverge from what
+        # ships on TPU
+        def z(shape):
+            return jnp.zeros(shape, jnp.float32)
+        return _FIDState(z((d,)), z((d, d)), z(()), z((d,)), z((d, d)), z(()),
+                         z((d,)), z((d, d)), z((d,)), z((d, d)))
 
     def update(self, state, samples=None, generated=None, **_):
         if samples is not None:  # real data distribution
             f = self._features(samples).astype(jnp.float32)
+            s, sc = _kahan_add(state.real_sum, state.real_sum_c, f.sum(0))
+            g, gc = _kahan_add(state.real_gram, state.real_gram_c, f.T @ f)
             state = state.replace(
-                real_sum=state.real_sum + f.sum(0),
-                real_gram=state.real_gram + f.T @ f,
+                real_sum=s, real_sum_c=sc, real_gram=g, real_gram_c=gc,
                 real_n=state.real_n + f.shape[0],
             )
         if generated is not None:  # model samples
             f = self._features(generated).astype(jnp.float32)
+            s, sc = _kahan_add(state.fake_sum, state.fake_sum_c, f.sum(0))
+            g, gc = _kahan_add(state.fake_gram, state.fake_gram_c, f.T @ f)
             state = state.replace(
-                fake_sum=state.fake_sum + f.sum(0),
-                fake_gram=state.fake_gram + f.T @ f,
+                fake_sum=s, fake_sum_c=sc, fake_gram=g, fake_gram_c=gc,
                 fake_n=state.fake_n + f.shape[0],
             )
         return state
@@ -194,13 +221,19 @@ class FrechetInceptionDistance(Metric):
         n_f = float(state.fake_n)
         if n_r < self.min_obs or n_f < self.min_obs:
             return jnp.asarray(jnp.inf)
-        sum_r = np.asarray(state.real_sum, np.float64)
-        sum_f = np.asarray(state.fake_sum, np.float64)
+        # fold the Kahan compensation in at f64 (sum stored the rounded
+        # total, comp the residual; the true sum is their difference)
+        sum_r = (np.asarray(state.real_sum, np.float64)
+                 - np.asarray(state.real_sum_c, np.float64))
+        sum_f = (np.asarray(state.fake_sum, np.float64)
+                 - np.asarray(state.fake_sum_c, np.float64))
         mu_r, mu_f = sum_r / n_r, sum_f / n_f
         # unbiased covariance from streaming sums: (Σffᵀ − n·μμᵀ)/(n−1)
-        cov_r = (np.asarray(state.real_gram, np.float64)
+        cov_r = ((np.asarray(state.real_gram, np.float64)
+                  - np.asarray(state.real_gram_c, np.float64))
                  - n_r * np.outer(mu_r, mu_r)) / max(n_r - 1.0, 1.0)
-        cov_f = (np.asarray(state.fake_gram, np.float64)
+        cov_f = ((np.asarray(state.fake_gram, np.float64)
+                  - np.asarray(state.fake_gram_c, np.float64))
                  - n_f * np.outer(mu_f, mu_f)) / max(n_f - 1.0, 1.0)
         # tr sqrtm(Σr·Σf) via the symmetric equivalent Σ√eig(√Σr·Σf·√Σr):
         # identical to pytorch-fid's scipy.linalg.sqrtm trace in exact
@@ -225,10 +258,14 @@ class FrechetInceptionDistance(Metric):
         covariance; ±points-level deviation from the f64 host path on a
         2048² feature spectrum — prefer host compute for reporting)."""
         mean_r, cov_r = mean_cov(
-            state.real_sum, state.real_gram, jnp.maximum(state.real_n, 1.0)
+            state.real_sum - state.real_sum_c,
+            state.real_gram - state.real_gram_c,
+            jnp.maximum(state.real_n, 1.0),
         )
         mean_f, cov_f = mean_cov(
-            state.fake_sum, state.fake_gram, jnp.maximum(state.fake_n, 1.0)
+            state.fake_sum - state.fake_sum_c,
+            state.fake_gram - state.fake_gram_c,
+            jnp.maximum(state.fake_n, 1.0),
         )
         cov_r = make_psd(symmetrize(cov_r))
         cov_f = make_psd(symmetrize(cov_f))

@@ -95,6 +95,57 @@ def test_fid_host_path_matches_pytorch_fid_formula(rng):
     np.testing.assert_allclose(traced, oracle, rtol=0.05, atol=0.05)
 
 
+def test_fid_kahan_compensated_accumulation(rng):
+    """SURVEY §7 hard part: the FID Gram state is f32 + Kahan compensation.
+    Large-mean features (Inception activations are non-negative with big
+    means) cancel digits in Gram/n − μμᵀ; compensated streaming must stay
+    near the float64 oracle where naive f32 accumulation drifts."""
+    import scipy.linalg
+
+    d, bs, n_batches, mean = 16, 64, 150, 30.0
+    real = (rng.standard_normal((n_batches * bs, d)) + mean).astype(np.float32)
+    fake = (rng.standard_normal((n_batches * bs, d)) * 1.3 + mean + 0.2
+            ).astype(np.float32)
+
+    fid = FrechetInceptionDistance(feature_size=d, min_obs=10,
+                                   feature_fn=lambda x: x)
+    st = fid.init()
+    assert st.real_gram.dtype == jnp.float32  # production dtype, even under x64
+    upd = jax.jit(lambda s, a, b: fid.update(s, samples=a, generated=b))
+    for i in range(n_batches):
+        sl = slice(i * bs, (i + 1) * bs)
+        st = upd(st, jnp.asarray(real[sl]), jnp.asarray(fake[sl]))
+    ours = float(fid.compute(st))
+
+    # float64 oracle (pytorch-fid formula from the raw features)
+    r64, f64 = real.astype(np.float64), fake.astype(np.float64)
+    cov_r, cov_f = np.cov(r64, rowvar=False), np.cov(f64, rowvar=False)
+    oracle = (((r64.mean(0) - f64.mean(0)) ** 2).sum()
+              + np.trace(cov_r + cov_f
+                         - 2 * scipy.linalg.sqrtm(cov_r @ cov_f).real))
+
+    # naive f32 streaming (what the state would hold without compensation)
+    g_r = np.zeros((d, d), np.float32)
+    g_f = np.zeros((d, d), np.float32)
+    s_r = np.zeros((d,), np.float32)
+    s_f = np.zeros((d,), np.float32)
+    for i in range(n_batches):
+        sl = slice(i * bs, (i + 1) * bs)
+        g_r += real[sl].T @ real[sl]
+        g_f += fake[sl].T @ fake[sl]
+        s_r += real[sl].sum(0)
+        s_f += fake[sl].sum(0)
+    n = float(n_batches * bs)
+    mu_r, mu_f = s_r.astype(np.float64) / n, s_f.astype(np.float64) / n
+    cr = (g_r.astype(np.float64) - n * np.outer(mu_r, mu_r)) / (n - 1)
+    cf = (g_f.astype(np.float64) - n * np.outer(mu_f, mu_f)) / (n - 1)
+    naive = (((mu_r - mu_f) ** 2).sum()
+             + np.trace(cr + cf - 2 * scipy.linalg.sqrtm(cr @ cf).real))
+
+    assert abs(ours - oracle) < 0.1 * abs(oracle), (ours, oracle)
+    assert abs(ours - oracle) < abs(naive - oracle), (ours, naive, oracle)
+
+
 def test_metric_collection_prefix():
     mc = MetricCollection({"psnr": PSNR()}, prefix="val/")
     states = mc.init()
