@@ -582,6 +582,7 @@ def apply_transport(
     Cw: Optional[jax.Array] = None,
     diag: bool = False,
     key: Optional[jax.Array] = None,
+    method: str = "auto",
 ) -> jax.Array:
     """Apply the affine W2 transport map: T (x - μs) + μt (+ noise ~ N(0, Σw))
     (reference: ot_vae_lightning/ot/w2_utils.py:464-527).
@@ -591,6 +592,9 @@ def apply_transport(
     :param Cw: optional noise covariance; noise is only added when both ``Cw``
                and ``key`` are provided (JAX needs an explicit PRNG key where
                the reference draws implicitly).
+    :param method: pipeline for the noise-scale sqrtm ("eigh"|"polar"|"auto"
+               — see :func:`_polar_path`); the transport itself is matmul-only
+               either way.
     """
     x_centered = inputs - mean_source
     if diag:
@@ -606,7 +610,15 @@ def apply_transport(
         if diag:
             noise = jnp.sqrt(jnp.clip(Cw, 0.0, None)) * eps
         else:
-            scale = sqrtm(symmetrize(Cw))
+            if _polar_path(method):
+                # PSD-shift first (matmul-only): the admitted Cw can sit a
+                # hair indefinite (min_eig ≥ -ε) and, when the noise is
+                # degenerate (Cw ≈ 0), its RELATIVE negative spectrum can be
+                # large — outside the NS basin without the shift.
+                scale = sqrtm(make_psd(symmetrize(Cw), method="polar"),
+                              method="ns")
+            else:
+                scale = sqrtm(symmetrize(Cw))
             noise = jnp.squeeze(
                 jnp.matmul(scale, eps[..., :, None],
                            precision=lax.Precision.HIGHEST), axis=-1)

@@ -146,6 +146,7 @@ class GaussianTransport(TransportOperator):
             maybe_expand(state.Cw, mat=True) if self.stochastic else None,
             diag=self.diag,
             key=key,
+            method=self.method,
         )
 
     def sample(self, state, key: jax.Array, batch_size: int, source: bool = True):

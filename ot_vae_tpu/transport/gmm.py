@@ -150,6 +150,7 @@ class GMMTransport(TransportOperator):
         return apply_transport(
             inputs, source_means, target_means, T,
             Cw if self.stochastic else None, diag=self.diag, key=k_noise,
+            method=self.method,
         ).astype(inputs.dtype)
 
     def sample(self, state, key: jax.Array, batch_size: int, source: bool = True):

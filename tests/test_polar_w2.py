@@ -183,6 +183,15 @@ def test_transport_operators_polar_vs_eigh(rng, stochastic):
         # noise covariances agree and are PSD-admissible in both modes
         np.testing.assert_allclose(np.asarray(Cw_p), np.asarray(Cw_e),
                                    rtol=2e-2, atol=2e-2)
+        # the NOISE path (sqrtm of Cw at apply time) also matches: same key
+        # → same eps, so the only difference is the scale factorization
+        k = jax.random.PRNGKey(7)
+        n_e = np.asarray(apply_transport(x, mu, mu, T_e[:, None],
+                                         Cw_e[:, None], key=k, method="eigh"))
+        n_p = np.asarray(apply_transport(x, mu, mu, T_p[:, None],
+                                         Cw_p[:, None], key=k, method="polar"))
+        assert np.all(np.isfinite(n_p))
+        np.testing.assert_allclose(n_p, n_e, rtol=5e-2, atol=5e-2)
 
 
 def test_transport_polar_degenerate_zero_variance(rng):
