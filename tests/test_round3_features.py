@@ -62,6 +62,36 @@ def test_topk_max_mode_still_correct(tmp_path, monkeypatch):
     assert "25.000" in cb.best_path
 
 
+def test_enable_compilation_cache_round_trip(tmp_path):
+    """Opt-in persistent compilation cache: entries are written for compiles
+    above the threshold, and a cleared in-process cache re-executes correctly
+    through the persistent-cache read path (CPU backend — the axon tunnel's
+    broken deserialize is documented on the helper, which is why this is
+    opt-in rather than a Trainer default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ot_vae_tpu.utils import enable_compilation_cache
+
+    cache_dir = tmp_path / "xla_cache"
+    enable_compilation_cache(str(cache_dir), min_compile_time_secs=0.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x.T).sum()
+
+        x = jnp.ones((64, 64), jnp.float32)
+        first = float(f(x))
+        entries = [p for p in cache_dir.rglob("*") if p.is_file()]
+        assert entries, "no persistent-cache entries written"
+        jax.clear_caches()  # force retrace → persistent-cache read path
+        assert float(f(x)) == first
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_as_nhwc_scales_by_dtype_not_value_range():
     """uint8 scaling is decided from the source DTYPE: an all-dark uint8
     image (max value 1) must scale by 1/255 exactly like its bright
