@@ -107,3 +107,85 @@ def test_as_nhwc_scales_by_dtype_not_value_range():
     # float sources are trusted as-is (torchvision transforms yield [0,1])
     f = np.full((8, 8, 1), 0.7, np.float32)
     np.testing.assert_array_equal(_as_nhwc(f), f)
+
+
+def _load_bench_module():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    spec = importlib.util.spec_from_file_location("_bench_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_tpu_retry_surfaces_error():
+    """A persistent TPU-client fault (e.g. the rolling-upgrade libtpu
+    version mismatch that killed MULTICHIP_r01/r02, or a hung-tunnel
+    subprocess timeout) must not crash bench.py: _tpu_eval_with_retry
+    retries, then returns NaNs + the error so main() can emit an honest
+    stale-marked JSON line instead of exiting non-zero."""
+    bench = _load_bench_module()
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise RuntimeError("FAILED_PRECONDITION: libtpu version mismatch")
+
+    bf16, f32, err = bench._tpu_eval_with_retry(retries=2, wait_s=0,
+                                                run_once=boom)
+    assert err is not None and "libtpu" in str(err)
+    assert bf16 != bf16 and f32 != f32  # NaN
+    assert len(calls) == 2  # retried exactly `retries` times
+
+
+def test_bench_tpu_retry_recovers_on_transient():
+    """One transient fault followed by a healthy client must succeed."""
+    bench = _load_bench_module()
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("transient")
+        return 123.0, 45.0
+
+    bf16, f32, err = bench._tpu_eval_with_retry(retries=2, wait_s=0,
+                                                run_once=flaky)
+    assert err is None and bf16 == 123.0 and f32 == 45.0
+
+
+def test_bench_measure_subprocess_times_out_hung_child(monkeypatch, tmp_path):
+    """The hang bound is a kill-on-timeout SUBPROCESS: an in-process
+    SIGALRM watchdog never fires while blocked inside the tunnel's C++
+    RPC (CPython delivers signals between bytecodes only). Simulate a
+    wedged child with a sleeping stand-in and assert the parent raises
+    within the bound instead of hanging."""
+    import subprocess
+
+    bench = _load_bench_module()
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        assert "--measure-eval" in cmd
+        return real_run(
+            [cmd[0], "-c", "import time; time.sleep(60)"],
+            **{k: v for k, v in kw.items()},
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(subprocess.TimeoutExpired):
+        bench._measure_eval_subprocess(hang_timeout_s=2)
+
+
+def test_bench_last_committed_eval_parses_detail(monkeypatch):
+    """The stale fallback reads the committed BENCH_DETAIL.json shape."""
+    import pathlib
+
+    monkeypatch.chdir(pathlib.Path(__file__).resolve().parents[1])
+    bench = _load_bench_module()
+    bf16, f32 = bench._last_committed_eval()
+    # BENCH_DETAIL.json is committed at the repo root; both precisions parse
+    assert bf16 > 0 and f32 > 0
