@@ -636,8 +636,12 @@ def _tpu_eval_with_retry(retries=2, wait_s=45, hang_timeout_s=600,
 
 def _last_committed_eval():
     """(bf16, f32) img/s from the committed BENCH_DETAIL.json, else NaNs."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json")
     try:
-        with open("BENCH_DETAIL.json") as f:
+        with open(path) as f:
             d = json.load(f)
         return (float(d["eval_bf16"]["img_per_s"]),
                 float(d["eval_f32"]["img_per_s"]))
