@@ -128,6 +128,30 @@ class InferenceEngine:
         out = self._get("reconstruct", xb.shape[0])(self._variables, xb, key)
         return np.asarray(self.model.inference_postprocess(out))[:n]
 
+    def restore(self, images, transport, key=None):
+        """Restoration serving: encode degraded raw images, transport their
+        latents source→target through a FITTED ``LatentTransport``, decode.
+
+        This is the reference's test-time restoration path
+        (reference: ot/transport_callback.py:238-254) exposed as a serving
+        endpoint: ``transport`` is a ``LatentTransport`` whose operator state
+        was fitted during training — either still in-process, or re-loaded
+        with ``LatentTransport.load_state`` (the reference cannot do the
+        latter: its fitted operator buffers are never checkpointed).
+        """
+        if transport.state is None:
+            raise ValueError(
+                "transport has no fitted state — fit it during training or "
+                "load one with LatentTransport.load_state()"
+            )
+        x = self.model.inference_preprocess(np.asarray(images, np.float32))
+        xb, n = self._pad_to_bucket(np.asarray(x))
+        key = key if key is not None else jax.random.PRNGKey(0)
+        z = self._get("encode", xb.shape[0])(self._variables, xb, key)
+        z_t = transport.transport(z)
+        out = self._get("decode", xb.shape[0])(self._variables, z_t, None)
+        return np.asarray(self.model.inference_postprocess(out))[:n]
+
     def warmup(self):
         """Compile the sample path for every bucket ahead of serving."""
         for b in self.batch_sizes:

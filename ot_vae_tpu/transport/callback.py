@@ -151,6 +151,58 @@ class LatentTransport(Callback):
         moved = self._jit_transport(self.state, flat, self._next_key())
         return self._unflatten(moved)
 
+    # ------------------------------------------------------- state persistence
+
+    def save_state(self, path: str) -> None:
+        """Persist the (fitted) operator state pytree to an ``.npz`` file.
+
+        The reference's operator buffers live on an ``nn.Module`` owned by
+        the callback, which Lightning does NOT checkpoint (the callback
+        implements no ``state_dict``) — a fitted operator dies with the
+        training process there. Here the state is an explicit pytree, so it
+        can be saved after ``compute()`` and re-loaded in a serving process
+        (:meth:`ot_vae_tpu.serving.InferenceEngine.restore`) without
+        re-fitting.
+        """
+        if self.state is None:
+            raise ValueError("no operator state to save — call init/fit first")
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        np.savez(
+            path,
+            __treedef__=np.asarray(str(treedef)),
+            **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+        )
+
+    def load_state(self, path: str) -> "LatentTransport":
+        """Load an operator state saved by :meth:`save_state` into ``self``.
+
+        The structure comes from a freshly-initialized state of THIS
+        callback's operator (only leaf values are read from disk), so a file
+        saved under a different operator configuration fails loudly instead
+        of deserializing into the wrong shapes.
+        """
+        data = np.load(path if str(path).endswith(".npz") else f"{path}.npz")
+        template = self.operator.init(jax.random.PRNGKey(0))
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        saved_def = str(data["__treedef__"])
+        if saved_def != str(treedef):
+            raise ValueError(
+                f"saved operator state structure does not match this "
+                f"callback's operator:\n  saved: {saved_def}\n  "
+                f"expected: {treedef}"
+            )
+        leaves = []
+        for i, t_leaf in enumerate(t_leaves):
+            leaf = data[f"leaf_{i}"]
+            if np.shape(leaf) != np.shape(t_leaf):
+                raise ValueError(
+                    f"saved leaf {i} has shape {np.shape(leaf)}, operator "
+                    f"expects {np.shape(t_leaf)}"
+                )
+            leaves.append(jnp.asarray(leaf))
+        self.state = jax.tree_util.tree_unflatten(treedef, leaves)
+        return self
+
     # ------------------------------------------------------------ hooks
 
     def on_fit_start(self, trainer, model):
