@@ -437,3 +437,18 @@ class ConditionalLatentTransport(Callback):
             costs.append(t._last_cost)
         avg = float(np.mean([c for c in costs if c is not None]))
         trainer.logged_metrics["transport/conditional/avg_transport_cost"] = avg
+
+    # ------------------------------------------------------- state persistence
+
+    def save_state(self, path: str) -> None:
+        """Persist every per-class operator state: ``<path>.class<i>.npz``
+        (see :meth:`LatentTransport.save_state`)."""
+        for i, t in enumerate(self.transports):
+            t.save_state(f"{path}.class{i}.npz")
+
+    def load_state(self, path: str) -> "ConditionalLatentTransport":
+        """Load states saved by :meth:`save_state` into the per-class
+        callbacks; the class count must match (missing files fail loudly)."""
+        for i, t in enumerate(self.transports):
+            t.load_state(f"{path}.class{i}.npz")
+        return self

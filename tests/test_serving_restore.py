@@ -116,6 +116,35 @@ def test_engine_restore_pads_and_slices(rng, key):
     assert restored.shape == x.shape
 
 
+def test_conditional_save_load_fan_out(tmp_path, rng, key):
+    from ot_vae_tpu.transport import ConditionalLatentTransport
+
+    def _mk():
+        return ConditionalLatentTransport(
+            num_classes=2, size=(4, 4, 8), transport_dims=(3,),
+            transport_operator=GaussianTransport, transformations=Identity(),
+            common_operator=True, operator_kwargs=dict(diag=True),
+        )
+
+    cond = _mk()
+    labels = jnp.asarray([0] * 8 + [1] * 8)
+    x = jnp.asarray(rng.standard_normal((16, 4, 4, 8)), jnp.float32)
+    for t in cond.transports:
+        t.state = t.operator.init(key)
+        t._update(x, {"kwargs": {"labels": labels}}, source=True)
+        t._update(x + 1.0, {"kwargs": {"labels": labels}}, source=False)
+        t.state, _ = t.operator.compute(t.state, key=key)
+    path = str(tmp_path / "cond_op")
+    cond.save_state(path)
+
+    cond2 = _mk().load_state(path)
+    probe = jnp.asarray(rng.standard_normal((4, 4, 4, 8)), jnp.float32)
+    for t1, t2 in zip(cond.transports, cond2.transports):
+        np.testing.assert_array_equal(
+            np.asarray(t1.transport(probe)), np.asarray(t2.transport(probe))
+        )
+
+
 def test_engine_restore_requires_fitted_state(rng):
     model = _tiny_vae()
     cb = LatentTransport(
