@@ -300,7 +300,12 @@ class VAE(VisionModel):
 
     def sample(self, batch_size: int, key=None, **kwargs):
         v = self._require_variables()
-        key = key if key is not None else jax.random.PRNGKey(np.random.randint(2**31))
+        if key is None:
+            # deterministic default (explicit-key discipline): successive
+            # calls step a per-model counter instead of np.random
+            count = getattr(self, "_sample_calls", 0)
+            self._sample_calls = count + 1
+            key = jax.random.fold_in(jax.random.PRNGKey(0), count)
         return self.maybe_postprocess(self.sample_fn(v, key, batch_size, kwargs))
 
     def __call__(self, x, key=None, **kwargs):

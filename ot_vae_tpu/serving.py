@@ -61,7 +61,11 @@ class InferenceEngine:
             self._variables = put_replicated(mesh, model.variables)
         else:
             self._variables = jax.device_put(model.variables)
-        self._fns: Dict[Tuple[str, int], callable] = {}
+        self._fns: Dict[Tuple, callable] = {}
+        # Deterministic default keys (explicit-key discipline): when a caller
+        # passes no key, requests draw from a per-engine counter folded into
+        # a fixed root key — a fresh engine reproduces the same sequence.
+        self._default_calls = 0
 
     # ------------------------------------------------------------ compile
 
@@ -114,10 +118,13 @@ class InferenceEngine:
         out = self._get("decode", zb.shape[0])(self._variables, zb, None)
         return np.asarray(self.model.inference_postprocess(out))[:n]
 
+    def _default_key(self):
+        k = jax.random.fold_in(jax.random.PRNGKey(0), self._default_calls)
+        self._default_calls += 1
+        return k
+
     def sample(self, batch_size: int, key=None):
-        key = key if key is not None else jax.random.PRNGKey(
-            np.random.randint(2**31)
-        )
+        key = key if key is not None else self._default_key()
         out = self._get("sample", batch_size)(self._variables, None, key)
         return np.asarray(self.model.inference_postprocess(out))
 
@@ -128,7 +135,28 @@ class InferenceEngine:
         out = self._get("reconstruct", xb.shape[0])(self._variables, xb, key)
         return np.asarray(self.model.inference_postprocess(out))[:n]
 
-    def restore(self, images, transport, key=None):
+    def _get_restore(self, transport, bucket: int, kw_keys: Tuple[str, ...]):
+        """One jitted encode→flatten→transport→unflatten→decode program per
+        (transport, bucket, conditioning-keys) — the fitted operator state is
+        a traced ARGUMENT, so re-fitting the operator does not recompile."""
+        cache_key = ("restore", id(transport), bucket, kw_keys)
+        if cache_key in self._fns:
+            return self._fns[cache_key]
+        model = self.model
+        flatten, unflatten = transport._flatten, transport._unflatten
+        operator = transport.operator
+
+        @jax.jit
+        def fn(v, state, x, key, kw):
+            k_enc, k_tr = jax.random.split(key)
+            z = model.encode_fn(v, x, k_enc, **kw)
+            z_t = unflatten(operator.transport(state, flatten(z), k_tr))
+            return model.decode_fn(v, z_t, **kw)
+
+        self._fns[cache_key] = fn
+        return fn
+
+    def restore(self, images, transport, key=None, **kwargs):
         """Restoration serving: encode degraded raw images, transport their
         latents source→target through a FITTED ``LatentTransport``, decode.
 
@@ -138,18 +166,32 @@ class InferenceEngine:
         was fitted during training — either still in-process, or re-loaded
         with ``LatentTransport.load_state`` (the reference cannot do the
         latter: its fitted operator buffers are never checkpointed).
+
+        The whole request is ONE pre-compilable XLA program per batch bucket
+        (same AOT story as ``encode``/``decode``), the request ``key`` is
+        split over the encoder and the transport draw (stochastic operators
+        are reproducible per key and the callback's internal RNG is never
+        touched), and conditioning ``kwargs`` (e.g. ``labels``) are threaded
+        through both encode and decode like the reference's restoration path.
         """
         if transport.state is None:
             raise ValueError(
                 "transport has no fitted state — fit it during training or "
                 "load one with LatentTransport.load_state()"
             )
+        n_req = int(np.asarray(images).shape[0])
         x = self.model.inference_preprocess(np.asarray(images, np.float32))
         xb, n = self._pad_to_bucket(np.asarray(x))
-        key = key if key is not None else jax.random.PRNGKey(0)
-        z = self._get("encode", xb.shape[0])(self._variables, xb, key)
-        z_t = transport.transport(z)
-        out = self._get("decode", xb.shape[0])(self._variables, z_t, None)
+        key = key if key is not None else self._default_key()
+        kw = {}
+        for k, v in kwargs.items():
+            v = np.asarray(v)
+            if v.ndim >= 1 and v.shape[0] == n_req and xb.shape[0] > n_req:
+                pad = np.zeros((xb.shape[0] - n_req, *v.shape[1:]), v.dtype)
+                v = np.concatenate([v, pad])
+            kw[k] = jnp.asarray(v)
+        fn = self._get_restore(transport, xb.shape[0], tuple(sorted(kw)))
+        out = fn(self._variables, transport.state, xb, key, kw)
         return np.asarray(self.model.inference_postprocess(out))[:n]
 
     def warmup(self):

@@ -144,11 +144,19 @@ class LatentTransport(Callback):
     def _decode(self, model, latents, kwargs):
         return model.decode_fn(model.variables, latents, **kwargs)
 
-    def transport(self, latents: jax.Array) -> jax.Array:
+    def transport(self, latents: jax.Array, key=None) -> jax.Array:
         """permute-flatten → operator → unflatten
-        (reference: transport_callback.py:622-625)."""
+        (reference: transport_callback.py:622-625).
+
+        ``key`` makes stochastic operators reproducible per call: identical
+        requests with the same key give identical outputs and the callback's
+        internal RNG is left untouched (serving endpoints pass a request
+        key; training-time calls use the internal stream as before).
+        """
         flat = self._flatten(latents)
-        moved = self._jit_transport(self.state, flat, self._next_key())
+        moved = self._jit_transport(
+            self.state, flat, self._next_key() if key is None else key
+        )
         return self._unflatten(moved)
 
     # ------------------------------------------------------- state persistence
@@ -199,7 +207,11 @@ class LatentTransport(Callback):
                     f"saved leaf {i} has shape {np.shape(leaf)}, operator "
                     f"expects {np.shape(t_leaf)}"
                 )
-            leaves.append(jnp.asarray(leaf))
+            # Cast to the template dtype: a state saved under a different
+            # precision config (x64 session) would otherwise load float64
+            # leaves that silently promote the f32 pipeline and break
+            # lax.cond branch dtype matching downstream.
+            leaves.append(jnp.asarray(leaf, dtype=jnp.asarray(t_leaf).dtype))
         self.state = jax.tree_util.tree_unflatten(treedef, leaves)
         return self
 
@@ -442,9 +454,31 @@ class ConditionalLatentTransport(Callback):
 
     def save_state(self, path: str) -> None:
         """Persist every per-class operator state: ``<path>.class<i>.npz``
-        (see :meth:`LatentTransport.save_state`)."""
-        for i, t in enumerate(self.transports):
-            t.save_state(f"{path}.class{i}.npz")
+        (see :meth:`LatentTransport.save_state`). Atomic with respect to
+        partial failure: every per-class state is validated as fitted BEFORE
+        any file is written, and files land under temporary names first, so
+        an unfitted class can never leave a stale partial file set behind."""
+        import os
+
+        unfitted = [i for i, t in enumerate(self.transports) if t.state is None]
+        if unfitted:
+            raise ValueError(
+                f"per-class operator state missing for classes {unfitted} — "
+                "call init/fit first"
+            )
+        tmp_paths = []
+        try:
+            for i, t in enumerate(self.transports):
+                tmp = f"{path}.class{i}.npz.tmp"
+                t.save_state(tmp)
+                # np.savez appends .npz when missing — tmp already ends .tmp
+                tmp_paths.append((f"{tmp}.npz", f"{path}.class{i}.npz"))
+            for tmp, final in tmp_paths:
+                os.replace(tmp, final)
+        finally:
+            for tmp, _ in tmp_paths:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
     def load_state(self, path: str) -> "ConditionalLatentTransport":
         """Load states saved by :meth:`save_state` into the per-class
