@@ -22,7 +22,7 @@ from typing import Any, Dict, List, Optional
 
 import yaml
 
-__all__ = ["load_configs", "instantiate", "build", "main"]
+__all__ = ["load_configs", "instantiate", "build", "main", "parse_overrides", "apply_overrides"]
 
 
 def _deep_merge(base: Dict, extra: Dict) -> Dict:
@@ -145,20 +145,109 @@ def apply_links(cfg: Dict) -> Dict:
     return cfg
 
 
+def _inject_default_callbacks(trainer, model) -> None:
+    """Reference parity (VisionCLI, model/base.py:311-342): every run gets
+    EarlyStopping, a top-10 ModelCheckpoint with a monitor-linked filename,
+    and a Collage logger UNLESS the config already lists a callback of that
+    type — so a default ``run.sh`` fit writes checkpoints and collages out
+    of the box. Opt out with ``trainer: {default_callbacks: false}``."""
+    from ot_vae_tpu.trainer.callbacks import (
+        Collage,
+        EarlyStopping,
+        ModelCheckpointCallback,
+    )
+
+    have = {type(cb) for cb in trainer.callbacks}
+    monitor = getattr(model, "monitor", None)
+    if EarlyStopping not in have:
+        # reference defaults: min_delta 0.1, patience 5 (model/base.py:316-324)
+        trainer.callbacks.append(EarlyStopping(min_delta=0.1, patience=5))
+    if ModelCheckpointCallback not in have:
+        # reference defaults: save_top_k 10, filename carries the monitored
+        # metric's name and value (model/base.py:327-333)
+        filename = (
+            f"epoch{{epoch:02d}}-{monitor}{{value:.3f}}"
+            if monitor else "epoch{epoch:02d}-{value:.3f}"
+        )
+        trainer.callbacks.append(
+            ModelCheckpointCallback(save_top_k=10, filename=filename)
+        )
+    if Collage not in have:
+        trainer.callbacks.append(Collage())
+
+
 def build(cfg: Dict):
     """Instantiate (model, datamodule, trainer) from a merged config."""
     cfg = apply_links(cfg)
     model = instantiate(cfg["model"])
     datamodule = instantiate(cfg["data"])
     trainer_cfg = cfg.get("trainer", {})
+    default_callbacks = True
     if isinstance(trainer_cfg, dict) and "class_path" not in trainer_cfg:
         from ot_vae_tpu.trainer import Trainer
 
         trainer_cfg = {k: instantiate(v) for k, v in trainer_cfg.items()}
+        default_callbacks = trainer_cfg.pop("default_callbacks", True)
         trainer = Trainer(**trainer_cfg)
     else:
         trainer = instantiate(trainer_cfg)
+    if default_callbacks and hasattr(trainer, "callbacks"):
+        _inject_default_callbacks(trainer, model)
     return model, datamodule, trainer
+
+
+def parse_overrides(extras: List[str]) -> List[tuple]:
+    """jsonargparse-grade dotted command-line overrides (reference:
+    LightningCLI accepts ``--model.init_args...`` for any config field,
+    model/base.py:295-352): ``--a.b.c=value`` or ``--a.b.c value``; values
+    are YAML-parsed (``16`` → int, ``[1,2]`` → list, ``null`` → None)."""
+    overrides, i = [], 0
+    while i < len(extras):
+        tok = extras[i]
+        if not tok.startswith("--"):
+            raise SystemExit(f"unrecognized argument: {tok}")
+        tok = tok[2:]
+        if "=" in tok:
+            path, _, raw = tok.partition("=")
+            i += 1
+        else:
+            path = tok
+            if i + 1 >= len(extras) or extras[i + 1].startswith("--"):
+                raise SystemExit(f"override --{path} is missing a value")
+            raw = extras[i + 1]
+            i += 2
+        if "." not in path:
+            raise SystemExit(
+                f"unknown option --{path} (overrides use dotted keys, e.g. "
+                f"--model.init_args.learning_rate=1e-4)"
+            )
+        value = yaml.safe_load(raw)
+        if isinstance(value, str):
+            # YAML 1.1 reads bare scientific notation ("1e-4") as a string;
+            # a numeric-looking override is numeric (jsonargparse semantics)
+            try:
+                value = float(value)
+            except ValueError:
+                pass
+        overrides.append((path, value))
+    return overrides
+
+
+def apply_overrides(cfg: Dict, overrides: List[tuple]) -> Dict:
+    """Set dotted-key overrides into a merged config (after ``-c`` merging,
+    before shape links — links still only fill what the user left unset)."""
+    cfg = copy.deepcopy(cfg)
+    for path, value in overrides:
+        node = cfg
+        keys = path.split(".")
+        for k in keys[:-1]:
+            nxt = node.get(k)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[k] = nxt
+            node = nxt
+        node[keys[-1]] = value
+    return cfg
 
 
 def main(argv: Optional[List[str]] = None):
@@ -170,9 +259,10 @@ def main(argv: Optional[List[str]] = None):
                         help="YAML config; repeatable, merged left to right")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--save-config", default="cli_config.yaml")
-    args = parser.parse_args(argv)
+    args, extras = parser.parse_known_args(argv)
 
     cfg = load_configs(args.config)
+    cfg = apply_overrides(cfg, parse_overrides(extras))
     if args.seed is not None:
         cfg["seed"] = args.seed
     if args.save_config:
