@@ -33,7 +33,12 @@ from ot_vae_tpu.data.transforms import (
 
 __all__ = ["MNIST", "MNIST32", "CIFAR10", "GenericDatamodule", "ImageFolderData", "ImageNet224", "ImageNet256", "FFHQ64", "FFHQ128"]
 
-_CACHE = Path(os.path.expanduser("~/.cache"))
+def _cache_dir() -> Path:
+    """Dataset cache root: ``$OT_VAE_DATA_CACHE`` or ``~/.cache`` — read
+    lazily so dropping real MNIST/CIFAR files (or pointing the env var at
+    them) re-activates the disk loaders without a process restart."""
+    return Path(os.environ.get("OT_VAE_DATA_CACHE",
+                               os.path.expanduser("~/.cache")))
 
 
 def _load_idx(path: Path) -> Optional[np.ndarray]:
@@ -51,7 +56,7 @@ def _load_idx(path: Path) -> Optional[np.ndarray]:
 
 
 def _load_mnist_raw(train: bool) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    base = _CACHE / "MNIST" / "raw"
+    base = _cache_dir() / "MNIST" / "raw"
     prefix = "train" if train else "t10k"
     for suffix in ("", ".gz"):
         imgs = _load_idx(base / f"{prefix}-images-idx3-ubyte{suffix}")
@@ -62,7 +67,7 @@ def _load_mnist_raw(train: bool) -> Optional[Tuple[np.ndarray, np.ndarray]]:
 
 
 def _load_cifar10_raw(train: bool) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    base = _CACHE / "cifar-10-batches-py"
+    base = _cache_dir() / "cifar-10-batches-py"
     names = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
     imgs, labs = [], []
     for name in names:

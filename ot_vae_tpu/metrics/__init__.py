@@ -154,11 +154,39 @@ def _default_features(feature_size: int) -> Callable:
     return fn
 
 
+_DISCOVERED_FEATURE_FNS: dict = {}
+
+
+def _discovered_or_default(feature_size: int) -> Callable:
+    """Default feature net for FID: a discovered local InceptionV3 weights
+    npz when one exists (``discover_inception_weights`` — drop the file, get
+    real-weight FID with zero code change), else the offline random-
+    projection stand-in. Built feature fns are cached per (path, variant)."""
+    from ot_vae_tpu.metrics.inception import (
+        discover_inception_weights,
+        make_inception_feature_fn,
+    )
+
+    found = discover_inception_weights()
+    if found is None:
+        return _default_features(feature_size)
+    if found not in _DISCOVERED_FEATURE_FNS:
+        _DISCOVERED_FEATURE_FNS[found] = make_inception_feature_fn(
+            found[0], variant=found[1]
+        )
+    return _DISCOVERED_FEATURE_FNS[found]
+
+
 @dataclasses.dataclass(frozen=True)
 class FrechetInceptionDistance(Metric):
     """Streaming FID: accumulates Σf and the Gram matrix Σffᵀ instead of
     buffering features (reference: metrics/fid.py:90-122); returns +inf below
-    ``min_obs`` observations (reference: fid.py:126)."""
+    ``min_obs`` observations (reference: fid.py:126).
+
+    With no explicit ``feature_fn``, a local InceptionV3 weights npz is
+    auto-discovered (see :func:`~ot_vae_tpu.metrics.inception.
+    discover_inception_weights`); ``feature_size`` must then match the
+    weights' feature width (2048 for real exports)."""
 
     feature_size: int = 2048
     feature_fn: Optional[Callable] = None
@@ -166,7 +194,7 @@ class FrechetInceptionDistance(Metric):
     higher_is_better: bool = False
 
     def _features(self, images):
-        fn = self.feature_fn or _default_features(self.feature_size)
+        fn = self.feature_fn or _discovered_or_default(self.feature_size)
         return fn(images)
 
     def init(self):
