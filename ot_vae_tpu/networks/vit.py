@@ -22,7 +22,8 @@ import numpy as np
 from einops import rearrange
 from flax import linen as nn
 
-from ot_vae_tpu.networks.nets_utils import GaussianFourierProjection
+from ot_vae_tpu.networks.nets_utils import (GaussianFourierProjection,
+                                            mha_attention_fn)
 
 __all__ = ["PositionalEmbedding", "TransformerLayer", "ViT", "AutoRegressive"]
 
@@ -67,10 +68,15 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x, memory=None, mask=None, train: bool = False,
                  decode: bool = False):
+        # attention_fn routes mask-free self-attention through the packed-qkv
+        # Pallas kernel at T ≥ 512 on TPU (the CNN path's dispatch policy,
+        # nets_utils.mha_attention_fn); masked/decode/dropout calls take the
+        # stock flax path. Params and module tree are identical either way.
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=not train,
             decode=decode,  # flax KV cache ('cache' collection) for AR decode
+            attention_fn=mha_attention_fn,
         )
         h = attn(x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype)(
@@ -106,6 +112,7 @@ class ViT(nn.Module):
     depth: int = 6
     preprocess_depth: Optional[int] = None
     heads: int = 8
+    head_dim: Optional[int] = None
     mlp_dim: Optional[int] = None
     channels: int = 3
     dropout: float = 0.1
@@ -121,6 +128,19 @@ class ViT(nn.Module):
     dtype: Any = jnp.float32
 
     # -------------------------------------------------- static token plan
+
+    @property
+    def n_heads(self) -> int:
+        """Head count, optionally derived from ``head_dim`` — the CNN path's
+        ``attn_head_dim`` lesson (BENCH_DETAIL.md: head_dim ≥ 64 runs ~2×
+        faster than many small heads at equal channels on the MXU) exposed
+        on the ViT family. ``head_dim`` wins over ``heads`` when set."""
+        if self.head_dim is None:
+            return self.heads
+        if self.dim % self.head_dim:
+            raise ValueError(f"dim {self.dim} not divisible by head_dim "
+                             f"{self.head_dim}")
+        return self.dim // self.head_dim
 
     @property
     def _plan(self):
@@ -210,7 +230,7 @@ class ViT(nn.Module):
                                     self.dtype)(x, train, positions=positions)
             mask = jnp.tril(jnp.ones((x.shape[1], x.shape[1]), bool))[None, None]
             for _ in range(self.depth):
-                x = TransformerLayer(self.dim, self.heads, mlp_dim, self.dropout,
+                x = TransformerLayer(self.dim, self.n_heads, mlp_dim, self.dropout,
                                      dtype=self.dtype)(x, mask=mask, train=train,
                                                        decode=True)
             return x
@@ -256,19 +276,19 @@ class ViT(nn.Module):
         out_idx = jnp.asarray(p["out_idx"])
         if self.preprocess_depth is None:
             for _ in range(self.depth):
-                x = TransformerLayer(self.dim, self.heads, mlp_dim, self.dropout,
+                x = TransformerLayer(self.dim, self.n_heads, mlp_dim, self.dropout,
                                      dtype=self.dtype)(x, mask=causal(x.shape[1]),
                                                        train=train)
             out = jnp.take(x, out_idx, axis=1)
         else:
             memory = jnp.take(x, jnp.asarray(p["cross_idx"]), axis=1)
             for _ in range(self.preprocess_depth):
-                memory = TransformerLayer(self.dim, self.heads, mlp_dim,
+                memory = TransformerLayer(self.dim, self.n_heads, mlp_dim,
                                           self.dropout, dtype=self.dtype)(
                     memory, train=train)
             out = jnp.take(x, out_idx, axis=1)
             for _ in range(self.depth):
-                out = TransformerLayer(self.dim, self.heads, mlp_dim, self.dropout,
+                out = TransformerLayer(self.dim, self.n_heads, mlp_dim, self.dropout,
                                        cross=True, dtype=self.dtype)(
                     out, memory=memory, mask=causal(out.shape[1]), train=train)
 
