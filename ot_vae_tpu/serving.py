@@ -69,26 +69,41 @@ class InferenceEngine:
 
     # ------------------------------------------------------------ compile
 
-    def _get(self, kind: str, batch: int):
-        key = (kind, batch)
+    def _get(self, kind: str, batch: int, kw_keys: Tuple[str, ...] = ()):
+        """One jitted program per (endpoint, bucket, conditioning-key set);
+        conditioning kwargs (labels, time) are traced dict arguments resolved
+        statically by the model's kwargs routing."""
+        key = (kind, batch, kw_keys)
         if key in self._fns:
             return self._fns[key]
         model = self.model
 
         if kind == "encode":
-            fn = jax.jit(lambda v, x, k: model.encode_fn(v, x, k))
+            fn = jax.jit(lambda v, x, k, kw: model.encode_fn(v, x, k, **kw))
         elif kind == "decode":
-            fn = jax.jit(lambda v, z, k: model.decode_fn(v, z))
+            fn = jax.jit(lambda v, z, k, kw: model.decode_fn(v, z, **kw))
         elif kind == "sample":
-            fn = jax.jit(lambda v, _, k: model.sample_fn(v, k, batch, {}))
+            fn = jax.jit(lambda v, _, k, kw: model.sample_fn(v, k, batch, kw))
         elif kind == "reconstruct":
             fn = jax.jit(
-                lambda v, x, k: model.net.apply(v, x, 0, k, False)
+                lambda v, x, k, kw: model.net.apply(v, x, 0, k, False, **kw)
             )
         else:
             raise ValueError(kind)
         self._fns[key] = fn
         return fn
+
+    def _prep_kwargs(self, kwargs, n_req: int, bucket: int):
+        """Device-ready conditioning kwargs: batch-shaped arrays are padded
+        up to the bucket alongside the images."""
+        kw = {}
+        for k, v in kwargs.items():
+            v = np.asarray(v)
+            if v.ndim >= 1 and v.shape[0] == n_req and bucket > n_req:
+                pad = np.zeros((bucket - n_req, *v.shape[1:]), v.dtype)
+                v = np.concatenate([v, pad])
+            kw[k] = jnp.asarray(v)
+        return kw
 
     def _pad_to_bucket(self, x: np.ndarray) -> Tuple[jax.Array, int]:
         n = x.shape[0]
@@ -106,16 +121,22 @@ class InferenceEngine:
 
     # ------------------------------------------------------------ serving API
 
-    def encode(self, images, key=None):
+    def encode(self, images, key=None, **kwargs):
+        n_req = int(np.asarray(images).shape[0])
         x = self.model.inference_preprocess(np.asarray(images, np.float32))
         xb, n = self._pad_to_bucket(np.asarray(x))
         key = key if key is not None else jax.random.PRNGKey(0)
-        z = self._get("encode", xb.shape[0])(self._variables, xb, key)
+        kw = self._prep_kwargs(kwargs, n_req, xb.shape[0])
+        z = self._get("encode", xb.shape[0], tuple(sorted(kw)))(
+            self._variables, xb, key, kw)
         return np.asarray(z)[:n]
 
-    def decode(self, latents, key=None):
+    def decode(self, latents, key=None, **kwargs):
+        n_req = int(np.asarray(latents).shape[0])
         zb, n = self._pad_to_bucket(np.asarray(latents, np.float32))
-        out = self._get("decode", zb.shape[0])(self._variables, zb, None)
+        kw = self._prep_kwargs(kwargs, n_req, zb.shape[0])
+        out = self._get("decode", zb.shape[0], tuple(sorted(kw)))(
+            self._variables, zb, None, kw)
         return np.asarray(self.model.inference_postprocess(out))[:n]
 
     def _default_key(self):
@@ -123,16 +144,23 @@ class InferenceEngine:
         self._default_calls += 1
         return k
 
-    def sample(self, batch_size: int, key=None):
+    def sample(self, batch_size: int, key=None, **kwargs):
+        """Conditioning kwargs (labels, time) thread into the prior sample
+        and decode like the reference's ``VAE.sample(B, **cond_kwargs)``."""
         key = key if key is not None else self._default_key()
-        out = self._get("sample", batch_size)(self._variables, None, key)
+        kw = self._prep_kwargs(kwargs, batch_size, batch_size)
+        out = self._get("sample", batch_size, tuple(sorted(kw)))(
+            self._variables, None, key, kw)
         return np.asarray(self.model.inference_postprocess(out))
 
-    def reconstruct(self, images, key=None):
+    def reconstruct(self, images, key=None, **kwargs):
+        n_req = int(np.asarray(images).shape[0])
         x = self.model.inference_preprocess(np.asarray(images, np.float32))
         xb, n = self._pad_to_bucket(np.asarray(x))
         key = key if key is not None else jax.random.PRNGKey(0)
-        out = self._get("reconstruct", xb.shape[0])(self._variables, xb, key)
+        kw = self._prep_kwargs(kwargs, n_req, xb.shape[0])
+        out = self._get("reconstruct", xb.shape[0], tuple(sorted(kw)))(
+            self._variables, xb, key, kw)
         return np.asarray(self.model.inference_postprocess(out))[:n]
 
     def _get_restore(self, transport, bucket: int, kw_keys: Tuple[str, ...]):
@@ -183,19 +211,22 @@ class InferenceEngine:
         x = self.model.inference_preprocess(np.asarray(images, np.float32))
         xb, n = self._pad_to_bucket(np.asarray(x))
         key = key if key is not None else self._default_key()
-        kw = {}
-        for k, v in kwargs.items():
-            v = np.asarray(v)
-            if v.ndim >= 1 and v.shape[0] == n_req and xb.shape[0] > n_req:
-                pad = np.zeros((xb.shape[0] - n_req, *v.shape[1:]), v.dtype)
-                v = np.concatenate([v, pad])
-            kw[k] = jnp.asarray(v)
+        kw = self._prep_kwargs(kwargs, n_req, xb.shape[0])
         fn = self._get_restore(transport, xb.shape[0], tuple(sorted(kw)))
         out = fn(self._variables, transport.state, xb, key, kw)
         return np.asarray(self.model.inference_postprocess(out))[:n]
 
-    def warmup(self):
-        """Compile the sample path for every bucket ahead of serving."""
+    def warmup(self, **kwargs):
+        """Compile the sample path for every bucket ahead of serving;
+        conditional models pass their conditioning kwargs (per-bucket arrays
+        are tiled/truncated to each bucket size)."""
         for b in self.batch_sizes:
-            self.sample(b)
+            kw = {}
+            for k, v in kwargs.items():
+                v = np.asarray(v)
+                if v.ndim >= 1:
+                    reps = int(np.ceil(b / v.shape[0]))
+                    v = np.concatenate([v] * reps)[:b]
+                kw[k] = v
+            self.sample(b, **kw)
         return self

@@ -306,3 +306,36 @@ def test_conditional_save_state_atomic(tmp_path, rng, key):
     with pytest.raises(ValueError, match="classes \\[2\\]"):
         cond.save_state(path)
     assert os.listdir(tmp_path) == []
+
+
+def test_engine_sample_threads_conditioning_kwargs(rng, key):
+    """InferenceEngine.sample accepts conditioning kwargs like the
+    reference's VAE.sample(B, **cond_kwargs) (round-4 TPU drive finding:
+    conditional models could not be sampled through the engine at all)."""
+    from ot_vae_tpu.networks import ViT
+
+    cfg = dict(image_size=16, patch_size=8, dim=32, depth=1, heads=4,
+               mlp_dim=64, channels=1, dropout=0.0, num_classes=3)
+    m = VAE(
+        metrics=MetricCollection({"psnr": PSNR()}),
+        encoder=ViT(n_embed_tokens=2, output_tokens="embed",
+                    patch_to_embed=True, **cfg),
+        decoder=ViT(n_embed_tokens=None, n_input_tokens=1,
+                    output_tokens="embed", patch_to_embed=False,
+                    embed_to_patch=True, **cfg),
+        prior=GaussianPrior(loss_coeff=0.1, reparam_dim=-2),
+        conditional=True,
+    )
+    batch = (jnp.zeros((8, 16, 16, 1), jnp.float32), jnp.zeros((8,), jnp.int32))
+    m.variables = m.init_variables(jax.random.PRNGKey(0), batch)
+    m.inference_preprocess = Identity()
+    m.inference_postprocess = Identity()
+
+    eng = InferenceEngine(m, batch_sizes=(4,))
+    labels = np.asarray([0, 1, 2, 1])
+    k = jax.random.PRNGKey(5)
+    a = eng.sample(4, key=k, labels=labels)
+    assert a.shape == (4, 16, 16, 1)
+    b = eng.sample(4, key=k, labels=np.asarray([1, 0, 0, 2]))
+    assert np.abs(a - b).max() > 0  # labels reach the decode
+    eng.warmup(labels=labels)  # conditional warmup compiles every bucket
