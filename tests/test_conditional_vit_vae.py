@@ -29,6 +29,10 @@ _MAX_EPOCH = 8
 # minimal floor): same code paths, ~5x faster on the single CPU core. The
 # default (full) mode is the parity gate with the TPU-verified floor.
 import os as _os
+import pytest
+
+# the parity-gate e2e tail (SUITE_r04.md: tranche B of the full gate)
+pytestmark = pytest.mark.e2e
 if _os.environ.get("OT_VAE_FAST_TESTS") == "1":
     _MAX_EPOCH = max(1, _MAX_EPOCH // 4)
     _PSNR_PERFORMANCE = 5.0
