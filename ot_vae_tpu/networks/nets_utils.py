@@ -594,12 +594,16 @@ class GaussianFourierProjection(nn.Module):
 _FUSED_ATTN_MIN_T = 512
 
 
-def _use_fused_attention(t: int, ch: int, backend: str, flag: Optional[str]) -> bool:
-    """Dispatch policy for the Pallas attention kernel (pure, testable)."""
+def _use_fused_attention(t: int, ch: int, backend: str, flag: Optional[str],
+                         n_heads: Optional[int] = None,
+                         itemsize: Optional[int] = None) -> bool:
+    """Dispatch policy for the Pallas attention kernel (pure, testable).
+    With ``n_heads``/``itemsize`` the packed kernel's total-width VMEM
+    envelope also applies (attention_pallas.fused_attention_packed_available)."""
     from ot_vae_tpu.ops.attention_pallas import fused_attention_packed_available
 
     if (flag == "0" or backend != "tpu"
-            or not fused_attention_packed_available(t, ch)):
+            or not fused_attention_packed_available(t, ch, n_heads, itemsize)):
         return False
     return flag == "1" or t >= _FUSED_ATTN_MIN_T
 
@@ -622,18 +626,36 @@ def mha_attention_fn(query, key, value, bias=None, mask=None,
     from flax.linen.attention import dot_product_attention
 
     b, t, h, d = query.shape
+    flag = os.environ.get("OT_VAE_FUSED_ATTN")
     if (bias is None and mask is None
             and key.shape == query.shape and value.shape == query.shape
             and (deterministic or dropout_rate == 0.0)
-            and _use_fused_attention(t, d, jax.default_backend(),
-                                     os.environ.get("OT_VAE_FUSED_ATTN"))):
-        from ot_vae_tpu.ops.attention_pallas import fused_attention_packed
+            and _use_fused_attention(t, d, jax.default_backend(), flag)):
+        from ot_vae_tpu.ops.attention_pallas import (
+            fused_attention, fused_attention_packed,
+            fused_attention_packed_available)
 
-        qkv = jnp.concatenate(
-            [query.reshape(b, t, h * d), key.reshape(b, t, h * d),
-             value.reshape(b, t, h * d)], axis=-1)
-        out = fused_attention_packed(qkv, h, float(1.0 / np.sqrt(d)))
-        return out.reshape(b, t, h, d)
+        scale = float(1.0 / np.sqrt(d))
+        if fused_attention_packed_available(t, d, h, query.dtype.itemsize):
+            qkv = jnp.concatenate(
+                [query.reshape(b, t, h * d), key.reshape(b, t, h * d),
+                 value.reshape(b, t, h * d)], axis=-1)
+            out = fused_attention_packed(qkv, h, scale)
+            return out.reshape(b, t, h, d)
+        # Wide-head shapes (t·H·C·itemsize past the packed kernel's VMEM
+        # envelope, e.g. the ViT encoder's h8·c64 @ T=1024): the BHTC
+        # kernel grids per (batch·head) and holds ONE head's [T,d] + [T,T]
+        # regardless of H. It still kills the O(T²) HBM logits round trip;
+        # the [B,T,H,C]↔[B,H,T,C] transposes it costs are linear-size.
+        # Measured (round 4, vit128 bf16 bs32 full train step, fetch-
+        # synced): 361.8 img/s vs 241.9 stock XLA (1.50x) — the stock step
+        # moves 3.50 GB/img (T² logits in both passes) vs 1.75 GB/img here,
+        # and both run HBM-bound.
+        out = fused_attention(
+            jnp.transpose(query, (0, 2, 1, 3)),
+            jnp.transpose(key, (0, 2, 1, 3)),
+            jnp.transpose(value, (0, 2, 1, 3)), scale)
+        return jnp.transpose(out, (0, 2, 1, 3))
     return dot_product_attention(
         query, key, value, bias=bias, mask=mask,
         broadcast_dropout=broadcast_dropout, dropout_rng=dropout_rng,
@@ -673,7 +695,8 @@ def spatial_attention(qkv: jax.Array, n_heads: int) -> jax.Array:
     import os
 
     if _use_fused_attention(t, ch, jax.default_backend(),
-                            os.environ.get("OT_VAE_FUSED_ATTN")):
+                            os.environ.get("OT_VAE_FUSED_ATTN"),
+                            n_heads, qkv.dtype.itemsize):
         from ot_vae_tpu.ops.attention_pallas import fused_attention_packed
 
         return fused_attention_packed(qkv, n_heads, 1.0 / np.sqrt(ch))

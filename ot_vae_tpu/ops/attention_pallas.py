@@ -342,15 +342,33 @@ def _fused_packed_bwd(n_heads, scale, interpret, res, do):
 _fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
 
 
-def fused_attention_packed_available(t: int, d: int) -> bool:
+def fused_attention_packed_available(
+    t: int, d: int, n_heads: int = None, itemsize: int = None,
+) -> bool:
     """Shape window for the packed-qkv kernel.
 
     Same VMEM window as the BHTC kernel plus a lane-alignment requirement:
     in-VMEM column slices land on lane boundaries when the head dim is a
     multiple of 8 (Mosaic relayouts cover the rest, but 8 keeps the slices
     on native sublane×lane tiles for bf16/f32 alike).
+
+    When ``n_heads``/``itemsize`` are known, a TOTAL-WIDTH envelope applies:
+    the packed kernel runs one program per batch element with the whole
+    [T, 3·H·C] qkv (+ packed dqkv, o, do) resident, so its backward working
+    set grows with H·C on top of the per-head [T,T] f32 intermediates.
+    Empirical VMEM anchor (v5e, 16 MB scoped limit): t·H·C·itemsize ≤ 0.5 MB
+    — the measured-good CNN production shape (t1024·h2·c64 f32 = 0.5 MB)
+    compiles at ~16 MB, while the ViT-encoder shape (t1024·h8·c64 bf16
+    = 1 MB) was rejected by Mosaic at 25.8 MB (round-4 ViT campaign). Wider
+    shapes route to the per-(batch·head) BHTC kernel instead
+    (``nets_utils.mha_attention_fn``), which holds one head's [T,d] + [T,T]
+    regardless of H.
     """
-    return t <= _MAX_T and d <= _MAX_D and d % 8 == 0
+    if not (t <= _MAX_T and d <= _MAX_D and d % 8 == 0):
+        return False
+    if n_heads is not None and itemsize is not None:
+        return t * n_heads * d * itemsize <= 512 * 1024
+    return True
 
 
 # ---------------------------------------------------------------------------
