@@ -802,6 +802,8 @@ def main():
                         help="also bench the FFHQ128-scale model (slow)")
     parser.add_argument("--cliff", action="store_true",
                         help="also sweep per-chip batch size with rooflines")
+    parser.add_argument("--vit", action="store_true",
+                        help="also bench ViT/DAD train steps (slow)")
     parser.add_argument("--measure-eval", action="store_true",
                         help=argparse.SUPPRESS)  # internal child mode
     args = parser.parse_args()
@@ -819,6 +821,21 @@ def main():
         cliff = _cliff_bench()
         with open("BENCH_CLIFF.json", "w") as f:
             json.dump(cliff, f, indent=2, default=str)
+
+    if args.vit:
+        vit = _vit_bench()
+        fused, stock = vit.get("vit128_train_bf16"), vit.get(
+            "vit128_train_bf16_no_kernel")
+        if fused and stock and "img_per_s" in fused and "flops_per_img" in stock:
+            # dual-MFU convention (see _train_throughput ref_flops): the
+            # fused kernels genuinely eliminate the T² logits traffic and
+            # cost-model differently; the stock-XLA formulation's FLOPs are
+            # the apples-to-apples denominator
+            fused["ref_formulation_flops_per_img"] = stock["flops_per_img"]
+            fused["ref_formulation_mfu_vs_bf16_peak"] = (
+                stock["flops_per_img"] * fused["img_per_s"] / 1e12 / 197.0)
+        with open("BENCH_VIT.json", "w") as f:
+            json.dump(vit, f, indent=2, default=str)
 
     # Primary metric (name FIXED from round 2 on, so driver rounds are
     # comparable): the reference recipe's model/batch at THIS framework's

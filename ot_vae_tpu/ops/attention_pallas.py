@@ -367,7 +367,11 @@ def fused_attention_packed_available(
     if not (t <= _MAX_T and d <= _MAX_D and d % 8 == 0):
         return False
     if n_heads is not None and itemsize is not None:
-        return t * n_heads * d * itemsize <= 512 * 1024
+        # d floored at 64: narrow per-head column slices still occupy full
+        # lane tiles in VMEM, so 8 heads of d=32 cost like 8 heads of d≥64
+        # (measured: h8·d32·t1024 bf16 [width 768] was Mosaic-rejected at
+        # 16.89 MB although its nominal t·H·C·itemsize is exactly 0.5 MB).
+        return t * n_heads * max(d, 64) * itemsize <= 512 * 1024
     return True
 
 

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Full DEFAULT-MODE (parity-floor) suite, split into the two tranches the
+# round-4 gate recipe documents (SUITE_r04.md):
+#   tranche A: everything but the e2e tail (fast; unit/oracle/equivalence)
+#   tranche B: the parity-gate e2e trainings (pytest -m e2e; the slow tail)
+# Each tranche fits the reference's own <=120-min CI budget on this 1-core
+# host; run them sequentially (or on two hosts) for the full gate.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/suite
+order="${1:-BA}"
+
+run_tranche() {
+    name="$1"; marker="$2"
+    echo "=== tranche $name (pytest -m \"$marker\") start: $(date -u +%H:%M:%SZ)"
+    start=$(date +%s)
+    python -m pytest tests -m "$marker" -q --durations=15 \
+        2>&1 | tee "/tmp/suite/tranche_$name.log" | tail -4
+    rc=${PIPESTATUS[0]}
+    echo "=== tranche $name done rc=$rc in $(( $(date +%s) - start ))s"
+    return "$rc"
+}
+
+rc=0
+if [ "$order" = "BA" ]; then
+    run_tranche B "e2e" || rc=1
+    run_tranche A "not e2e" || rc=1
+else
+    run_tranche A "not e2e" || rc=1
+    run_tranche B "e2e" || rc=1
+fi
+echo "FULL SUITE rc=$rc"
+exit "$rc"
