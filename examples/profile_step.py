@@ -137,10 +137,20 @@ def hlo_shapes(step, *args):
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32
     dtype = jnp.float32 if "f32" in sys.argv[1:] else jnp.bfloat16
-    model = bench._build_big_model(dtype=dtype, attn_head_dim=64)
-    step, params, opt_state, variables, pool = make_step(model, bs, dtype)
+    img_shape = (128, 128, 3)
+    if "vit" in sys.argv[1:]:  # round-4 ViT campaign target
+        model = bench._build_vit_big_model(dtype=dtype, head_dim=64)
+    elif "vit_cond" in sys.argv[1:]:
+        model = bench._build_vit_cond_model(dtype=dtype)
+        img_shape = (32, 32, 3)
+    elif "dad" in sys.argv[1:]:
+        model = bench._build_dad_model(dtype=dtype)
+    else:
+        model = bench._build_big_model(dtype=dtype, attn_head_dim=64)
+    step, params, opt_state, variables, pool = make_step(
+        model, bs, dtype, img_shape=img_shape)
     key = jax.random.PRNGKey(7)
     params, opt_state, variables, loss = step(
         params, opt_state, variables, key, pool[0])
