@@ -49,10 +49,32 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|\S+)\s+(\w+)")
 _OPND_RE = re.compile(r"%([\w.\-]+)")
 _META_RE = re.compile(r'op_name="([^"]+)"')
+_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
+
+
+def _parse_instr(line):
+    """(name, shape_str, kind) of one HLO line; shape may be a NESTED tuple
+    ('((f32[..]), f32[..], s32[])' — async wrappers), so scan balanced
+    parens instead of regexing."""
+    m = _NAME_RE.match(line)
+    if not m:
+        return None
+    rest = line[m.end():]
+    if rest.startswith("("):
+        depth = 0
+        for i, c in enumerate(rest):
+            depth += c == "("
+            depth -= c == ")"
+            if depth == 0:
+                break
+        shape, rest = rest[: i + 1], rest[i + 1:]
+    else:
+        sp = rest.find(" ")
+        shape, rest = rest[:sp], rest[sp:]
+    kind = rest.strip().split("(", 1)[0].strip()
+    return m.group(1), shape, kind
 
 
 def audit(step, *args, batch_size: int = 1, top: int = 25):
@@ -72,10 +94,10 @@ def audit(step, *args, batch_size: int = 1, top: int = 25):
     out_bytes = {}
     rows = []
     for line in entry:
-        m = _INSTR_RE.match(line)
-        if not m:
+        parsed = _parse_instr(line)
+        if not parsed:
             continue
-        name, shape, kind = m.groups()
+        name, shape, kind = parsed
         out_b = shape_bytes(shape)
         out_bytes[name] = out_b
         meta = _META_RE.search(line)
@@ -84,8 +106,13 @@ def audit(step, *args, batch_size: int = 1, top: int = 25):
     by_kind = collections.Counter()
     by_module = collections.Counter()
     scored = []
+    # metadata-free pseudo-ops: bitcasts and tuple plumbing move no data;
+    # async transfers are charged once at their -done (the -start names the
+    # same buffers)
+    free = ("parameter", "constant", "get-tuple-element", "tuple", "bitcast",
+            "after-all")
     for name, kind, out_b, line, op_name in rows:
-        if kind in ("parameter", "constant", "get-tuple-element", "tuple"):
+        if kind in free or kind.endswith("-start"):
             continue
         # reads: operands that are other top-level instructions' results
         body = line.split("=", 1)[1]
