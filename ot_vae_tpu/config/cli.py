@@ -17,12 +17,17 @@ from __future__ import annotations
 import argparse
 import copy
 import importlib
+import re
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import yaml
 
 __all__ = ["load_configs", "instantiate", "build", "main", "parse_overrides", "apply_overrides"]
+
+# bare scientific notation that YAML 1.1 mis-reads as a string ("1e-4",
+# "2.5E+3") — the ONLY shape parse_overrides coerces to float
+_SCI_NOTATION = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)[eE][+-]?\d+$")
 
 
 def _deep_merge(base: Dict, extra: Dict) -> Dict:
@@ -183,11 +188,15 @@ def build(cfg: Dict):
     datamodule = instantiate(cfg["data"])
     trainer_cfg = cfg.get("trainer", {})
     default_callbacks = True
+    if isinstance(trainer_cfg, dict):
+        # the opt-out works for BOTH trainer forms: plain kwargs dicts and
+        # class_path trainers (popped before instantiation either way)
+        trainer_cfg = dict(trainer_cfg)
+        default_callbacks = trainer_cfg.pop("default_callbacks", True)
     if isinstance(trainer_cfg, dict) and "class_path" not in trainer_cfg:
         from ot_vae_tpu.trainer import Trainer
 
         trainer_cfg = {k: instantiate(v) for k, v in trainer_cfg.items()}
-        default_callbacks = trainer_cfg.pop("default_callbacks", True)
         trainer = Trainer(**trainer_cfg)
     else:
         trainer = instantiate(trainer_cfg)
@@ -222,13 +231,12 @@ def parse_overrides(extras: List[str]) -> List[tuple]:
                 f"--model.init_args.learning_rate=1e-4)"
             )
         value = yaml.safe_load(raw)
-        if isinstance(value, str):
+        if isinstance(value, str) and _SCI_NOTATION.match(value):
             # YAML 1.1 reads bare scientific notation ("1e-4") as a string;
-            # a numeric-looking override is numeric (jsonargparse semantics)
-            try:
-                value = float(value)
-            except ValueError:
-                pass
+            # only that exact shape is coerced — '1_000', 'nan', 'inf' and
+            # other float()-parseable text stay strings so string-typed
+            # fields can receive numeric-looking values
+            value = float(value)
         overrides.append((path, value))
     return overrides
 
@@ -240,11 +248,19 @@ def apply_overrides(cfg: Dict, overrides: List[tuple]) -> Dict:
     for path, value in overrides:
         node = cfg
         keys = path.split(".")
-        for k in keys[:-1]:
+        for depth, k in enumerate(keys[:-1]):
             nxt = node.get(k)
-            if not isinstance(nxt, dict):
+            if nxt is None:
                 nxt = {}
                 node[k] = nxt
+            elif not isinstance(nxt, dict):
+                # never silently destroy an existing scalar (a typo like
+                # --model.class_path.foo=1 would wipe class_path and surface
+                # as an unrelated instantiation error)
+                raise SystemExit(
+                    f"override --{path}: '{'.'.join(keys[:depth + 1])}' is "
+                    f"{nxt!r} (not a section) — cannot set a key under it"
+                )
             node = nxt
         node[keys[-1]] = value
     return cfg

@@ -171,10 +171,27 @@ def _discovered_or_default(feature_size: int) -> Callable:
     if found is None:
         return _default_features(feature_size)
     if found not in _DISCOVERED_FEATURE_FNS:
-        _DISCOVERED_FEATURE_FNS[found] = make_inception_feature_fn(
-            found[0], variant=found[1]
+        fn = make_inception_feature_fn(found[0], variant=found[1])
+        # feature width via eval_shape (a trace, zero FLOPs) — a discovered
+        # npz only serves metrics whose feature_size matches it; a mismatch
+        # (e.g. the narrow stand-ins tests build) falls back to the random-
+        # projection features instead of a shape error deep in the update
+        width = jax.eval_shape(
+            fn, jax.ShapeDtypeStruct((1, 299, 299, 3), jnp.float32)
+        ).shape[-1]
+        _DISCOVERED_FEATURE_FNS[found] = (fn, int(width))
+    fn, width = _DISCOVERED_FEATURE_FNS[found]
+    if width != feature_size:
+        import warnings
+
+        warnings.warn(
+            f"discovered inception weights {found[0]} produce {width}-wide "
+            f"features but this metric was built with feature_size="
+            f"{feature_size}; using the offline stand-in features instead "
+            f"(build the metric with feature_size={width} to use the npz)"
         )
-    return _DISCOVERED_FEATURE_FNS[found]
+        return _default_features(feature_size)
+    return fn
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,9 +62,17 @@ class InferenceEngine:
         else:
             self._variables = jax.device_put(model.variables)
         self._fns: Dict[Tuple, callable] = {}
+        # Restore programs close over a transport's _flatten/_unflatten and
+        # operator, so they are cached PER TRANSPORT OBJECT in a weak-key map:
+        # entries die with the transport (no unbounded growth in a long-lived
+        # server), and reconfiguring a served transport requires a new object
+        # (the compiled pipeline is pinned at first use).
+        import weakref
+
+        self._restore_fns = weakref.WeakKeyDictionary()
         # Deterministic default keys (explicit-key discipline): when a caller
-        # passes no key, requests draw from a per-engine counter folded into
-        # a fixed root key — a fresh engine reproduces the same sequence.
+        # passes no key, EVERY endpoint draws from a per-engine counter folded
+        # into a fixed root key — a fresh engine reproduces the same sequence.
         self._default_calls = 0
 
     # ------------------------------------------------------------ compile
@@ -125,7 +133,7 @@ class InferenceEngine:
         n_req = int(np.asarray(images).shape[0])
         x = self.model.inference_preprocess(np.asarray(images, np.float32))
         xb, n = self._pad_to_bucket(np.asarray(x))
-        key = key if key is not None else jax.random.PRNGKey(0)
+        key = key if key is not None else self._default_key()
         kw = self._prep_kwargs(kwargs, n_req, xb.shape[0])
         z = self._get("encode", xb.shape[0], tuple(sorted(kw)))(
             self._variables, xb, key, kw)
@@ -157,7 +165,7 @@ class InferenceEngine:
         n_req = int(np.asarray(images).shape[0])
         x = self.model.inference_preprocess(np.asarray(images, np.float32))
         xb, n = self._pad_to_bucket(np.asarray(x))
-        key = key if key is not None else jax.random.PRNGKey(0)
+        key = key if key is not None else self._default_key()
         kw = self._prep_kwargs(kwargs, n_req, xb.shape[0])
         out = self._get("reconstruct", xb.shape[0], tuple(sorted(kw)))(
             self._variables, xb, key, kw)
@@ -167,9 +175,10 @@ class InferenceEngine:
         """One jitted encode→flatten→transport→unflatten→decode program per
         (transport, bucket, conditioning-keys) — the fitted operator state is
         a traced ARGUMENT, so re-fitting the operator does not recompile."""
-        cache_key = ("restore", id(transport), bucket, kw_keys)
-        if cache_key in self._fns:
-            return self._fns[cache_key]
+        per_transport = self._restore_fns.setdefault(transport, {})
+        cache_key = (bucket, kw_keys)
+        if cache_key in per_transport:
+            return per_transport[cache_key]
         model = self.model
         flatten, unflatten = transport._flatten, transport._unflatten
         operator = transport.operator
@@ -181,7 +190,7 @@ class InferenceEngine:
             z_t = unflatten(operator.transport(state, flatten(z), k_tr))
             return model.decode_fn(v, z_t, **kw)
 
-        self._fns[cache_key] = fn
+        per_transport[cache_key] = fn
         return fn
 
     def restore(self, images, transport, key=None, **kwargs):

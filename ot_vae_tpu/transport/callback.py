@@ -31,7 +31,10 @@ from ot_vae_tpu.utils import camel2snake, permute_and_flatten, unflatten_and_unp
 __all__ = ["LatentTransport", "ConditionalLatentTransport"]
 
 
-@dataclasses.dataclass
+# eq=False keeps identity-based __hash__: instances key weak-ref caches
+# (serving.InferenceEngine restore programs) and field-wise __eq__ over
+# pytree/array fields is meaningless anyway.
+@dataclasses.dataclass(eq=False)
 class LatentTransport(Callback):
     """:param size: latent tensor size WITHOUT batch, NHWC, e.g. (H, W, C)
     :param transport_dims: 1-based dims of [B, *size] to transport together
@@ -454,10 +457,14 @@ class ConditionalLatentTransport(Callback):
 
     def save_state(self, path: str) -> None:
         """Persist every per-class operator state: ``<path>.class<i>.npz``
-        (see :meth:`LatentTransport.save_state`). Atomic with respect to
-        partial failure: every per-class state is validated as fitted BEFORE
-        any file is written, and files land under temporary names first, so
-        an unfitted class can never leave a stale partial file set behind."""
+        (see :meth:`LatentTransport.save_state`). Validated upfront,
+        best-effort rename: every per-class state is checked as fitted BEFORE
+        any file is written and all payloads are fully written to temporary
+        names before the first rename, so write errors (disk full, mid-write
+        crash) never leave a partial final file set. The rename loop itself
+        is per-file (``os.replace``) — a failure there (permissions ripped
+        away mid-loop) can leave a mix of old and new final files, which is
+        the strongest guarantee multiple separate files allow."""
         import os
 
         unfitted = [i for i, t in enumerate(self.transports) if t.state is None]
@@ -470,9 +477,11 @@ class ConditionalLatentTransport(Callback):
         try:
             for i, t in enumerate(self.transports):
                 tmp = f"{path}.class{i}.npz.tmp"
-                t.save_state(tmp)
-                # np.savez appends .npz when missing — tmp already ends .tmp
+                # record the tmp name BEFORE writing so a mid-write np.savez
+                # failure still gets its orphan cleaned up in the finally
+                # (np.savez appends .npz when missing — tmp already ends .tmp)
                 tmp_paths.append((f"{tmp}.npz", f"{path}.class{i}.npz"))
+                t.save_state(tmp)
             for tmp, final in tmp_paths:
                 os.replace(tmp, final)
         finally:

@@ -97,6 +97,31 @@ def test_fid_auto_activates_on_dropped_npz(tmp_path, monkeypatch):
     assert np.isfinite(float(fid.compute(state)))
 
 
+
+def test_fid_feature_size_mismatch_falls_back(tmp_path, monkeypatch):
+    """ADVICE r4 (metrics): a discovered npz whose feature width does not
+    match the metric's feature_size is IGNORED (warning + offline stand-in)
+    instead of producing a confusing accumulator shape error that only
+    appears on machines with a cached npz."""
+    import warnings
+
+    monkeypatch.delenv("OT_VAE_INCEPTION_NPZ", raising=False)
+    monkeypatch.setenv("OT_VAE_DATA_CACHE", str(tmp_path))
+    (tmp_path / "ot_vae_tpu").mkdir()
+    width = random_inception_npz(
+        tmp_path / "ot_vae_tpu" / "inception_v3.npz", width=1 / 16)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    fid = FrechetInceptionDistance(feature_size=width + 5, min_obs=1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        feats = np.asarray(fid._features(imgs))
+    assert feats.shape == (4, width + 5)  # stand-in at the REQUESTED width
+    assert any("feature_size" in str(w.message) for w in caught)
+    # the full pipeline still runs (no shape error deep in update)
+    state = fid.update(fid.init(), samples=imgs, generated=imgs)
+
 # ---------------------------------------------------------------- datasets
 
 

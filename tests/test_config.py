@@ -213,3 +213,50 @@ def test_cli_fit_writes_checkpoints_and_collages(tmp_path, monkeypatch):
     assert glob.glob(str(tmp_path / "checkpoints" / "*")), "no checkpoints written"
     assert glob.glob(str(tmp_path / "collages" / "*")), "no collages written"
     assert (tmp_path / "cli_config.yaml").exists()
+
+
+def test_override_coercion_is_sci_notation_only():
+    """ADVICE r4 (cli.py): only bare scientific notation ('1e-4') is coerced
+    to float — '1_000', 'nan', 'inf' and other float()-parseable text stay
+    strings so string-typed config fields can receive numeric-looking text."""
+    from ot_vae_tpu.config import parse_overrides
+
+    ov = dict(parse_overrides([
+        "--a.lr=1e-4", "--a.big=2.5E+3", "--a.name=1_000",
+        "--a.n=nan", "--a.i=inf", "--a.v=v1e2x",
+    ]))
+    assert ov["a.lr"] == 1e-4 and ov["a.big"] == 2.5e3
+    # YAML 1.1's own typing is untouched ('1_000' is a YAML int)…
+    assert ov["a.name"] == 1000 and isinstance(ov["a.name"], int)
+    # …but strings YAML keeps are no longer blanket-float()ed
+    assert ov["a.n"] == "nan" and ov["a.i"] == "inf" and ov["a.v"] == "v1e2x"
+
+
+def test_override_refuses_to_destroy_scalar_nodes():
+    """ADVICE r4 (cli.py): a dotted path that traverses an existing scalar
+    (e.g. --model.class_path.foo) fails loudly instead of silently wiping
+    the scalar with {} and surfacing as an instantiation error later."""
+    import pytest
+    from ot_vae_tpu.config import apply_overrides
+
+    cfg = {"model": {"class_path": "ot_vae_tpu.models.VAE"}}
+    with pytest.raises(SystemExit, match="class_path"):
+        apply_overrides(cfg, [("model.class_path.foo", 1)])
+    # missing intermediates are still created
+    out = apply_overrides(cfg, [("model.init_args.lr", 0.1)])
+    assert out["model"]["init_args"]["lr"] == 0.1
+
+
+def test_class_path_trainer_honors_default_callbacks_opt_out():
+    """ADVICE r4 (cli.py): default_callbacks: false works for class_path
+    trainers too, not only the plain-kwargs trainer dict."""
+    cfg = load_configs(["configs/vae/defaults.yaml"])
+    cfg["data"]["init_args"]["synthetic_train"] = 64
+    cfg["data"]["init_args"]["synthetic_test"] = 32
+    cfg["trainer"] = {
+        "class_path": "ot_vae_tpu.trainer.Trainer",
+        "init_args": {"max_epochs": 1},
+        "default_callbacks": False,
+    }
+    _, _, tr = build(cfg)
+    assert tr.callbacks == []
