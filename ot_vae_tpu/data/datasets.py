@@ -168,7 +168,13 @@ class CIFAR10(BaseDatamodule):
 @dataclasses.dataclass
 class ImageFolderData(BaseDatamodule):
     """Folder-of-images datamodule (PIL decode) — the FFHQ/ImageNet path
-    (reference: data/__init__.py:61-151). Images are resized to ``size``."""
+    (reference: data/__init__.py:61-151). Images are resized to ``size``.
+
+    ``synthetic_train``/``synthetic_test`` > 0 arm a seeded synthetic-texture
+    fallback at the module's resolution when the folder is missing (same
+    armed-activation pattern as MNIST/CIFAR: drop real data on disk and the
+    identical config trains on it); 0 (default) keeps the loud
+    FileNotFoundError."""
 
     root: Tuple[str, str] = ("", "")
     size: int = 64
@@ -176,6 +182,8 @@ class ImageFolderData(BaseDatamodule):
     STD: Tuple[float, ...] = (0.25, 0.25, 0.25)
     test_val_split: float = 0.9
     max_images: Optional[int] = None
+    synthetic_train: int = 0
+    synthetic_test: int = 0
 
     def __post_init__(self):
         self.img_size = (self.size, self.size)
@@ -209,8 +217,16 @@ class ImageFolderData(BaseDatamodule):
     def setup(self) -> None:
         if self.train_dataset is not None:
             return
-        train = self._load_folder(self.root[0])
-        test = self._load_folder(self.root[1])
+        try:
+            train = self._load_folder(self.root[0])
+            test = self._load_folder(self.root[1])
+        except FileNotFoundError:
+            if not (self.synthetic_train and self.synthetic_test):
+                raise
+            train = synthetic_textures(self.synthetic_train, seed=1,
+                                       size=self.size)
+            test = synthetic_textures(self.synthetic_test, seed=2,
+                                      size=self.size)
         self.train_dataset = ArrayDataset(*train, self._transform)
         (vi, vl), (ti, tl) = dataset_split(*test, self.test_val_split, self.seed)
         self.val_dataset = ArrayDataset(vi, vl, self._transform)

@@ -200,6 +200,41 @@ class AttentionBlock(nn.Module):
                 self.heads, 1.0 / math.sqrt(head_dim), interpret=interpret)
             return out.reshape(b, h, w, self.channels)
 
+        # Matmul projections at Pallas-kernel shapes (round-5 layout fix,
+        # default ON on TPU — OT_VAE_ATTN_MATMUL_PROJ=0 restores the conv
+        # formulation): XLA lays 1×1-conv outputs out feature-major
+        # ({3,0,2,1}-style) while the Mosaic custom call requires row-major
+        # [B,T,3C], so the conv path pays a standalone 100.7 MB relayout
+        # copy per step at the bs128 production point (byte_audit round 4:
+        # "THE next MFU lever"). Expressing the same contraction as
+        # dot_general over the flattened token stream makes every tensor at
+        # the kernel boundary natively row-major — the copy is structurally
+        # impossible, and the [B·T, C] relayout of the INPUT fuses into the
+        # norm chain. Same params (materialize=False hands out the effective
+        # equalized-LR weights), same math (1×1 conv ≡ dot over C).
+        from ot_vae_tpu.networks.nets_utils import _tpu_fusion_default
+
+        if (self.groups == 1
+                and _tpu_fusion_default("OT_VAE_ATTN_MATMUL_PROJ")
+                and _use_fused_attention(
+                    t, head_dim, jax.default_backend(),
+                    os.environ.get("OT_VAE_FUSED_ATTN"),
+                    self.heads, jnp.dtype(self.dtype).itemsize)):
+            from ot_vae_tpu.ops.attention_pallas import fused_attention_packed
+
+            normed, w_qkv, b_qkv = qkv_conv(x, embed, train, materialize=False)
+            dummy = jnp.zeros((1, 1, 1, self.channels), normed.dtype)
+            _, w_out, b_out = out_conv(dummy, None, train, materialize=False)
+            assert b_qkv is None and b_out is None  # Conv1x1 is bias-free
+            qkv = jax.lax.dot_general(
+                normed.reshape(b, t, normed.shape[-1]),
+                w_qkv.astype(normed.dtype), (((2,), (0,)), ((), ())))
+            out = fused_attention_packed(
+                qkv, self.heads, 1.0 / math.sqrt(head_dim))
+            out = jax.lax.dot_general(
+                out, w_out.astype(out.dtype), (((2,), (0,)), ((), ())))
+            return out.reshape(b, h, w, self.channels)
+
         qkv = qkv_conv(x, embed, train)
         out = spatial_attention(qkv.reshape(b, h * w, 3 * c), self.heads)
         out = out.reshape(b, h, w, c)

@@ -303,3 +303,55 @@ def test_attention_block_batchnorm_stats_match_across_dispatch(monkeypatch):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6),
         mut_u, mut_f)
+
+
+def test_attention_block_matmul_proj_equals_conv_path(monkeypatch):
+    """The matmul-projection branch (round-5 layout fix: 1×1 qkv/out convs
+    expressed as dot_general so the Pallas boundary is natively row-major —
+    OT_VAE_ATTN_MATMUL_PROJ) produces the same param tree, outputs, grads,
+    and batch_stats as the conv formulation."""
+    import functools
+
+    from ot_vae_tpu.networks import nets_utils
+    from ot_vae_tpu.networks.cnn import AttentionBlock
+    from ot_vae_tpu.ops import attention_pallas as ap
+
+    blk = AttentionBlock(channels=16, heads=2, normalization="batchnorm")
+    rng = np.random.default_rng(52)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 16)), jnp.float32)
+
+    monkeypatch.delenv("OT_VAE_ATTN_MATMUL_PROJ", raising=False)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    out_conv, mut_conv = blk.apply(variables, x, train=True,
+                                   mutable=["batch_stats"])
+
+    def loss(v, x):
+        return jnp.sum(blk.apply(v, x) ** 2)
+
+    g_conv = jax.grad(loss)(variables, x)
+
+    # force the branch on CPU: env flag + eligibility + interpret kernel
+    monkeypatch.setenv("OT_VAE_ATTN_MATMUL_PROJ", "1")
+    monkeypatch.setattr(nets_utils, "_use_fused_attention",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(ap, "fused_attention_packed",
+                        functools.partial(ap.fused_attention_packed,
+                                          interpret=True))
+    variables_mm = blk.init(jax.random.PRNGKey(0), x)
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, variables_mm))
+    out_mm, mut_mm = blk.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_mm), np.asarray(out_conv),
+                               atol=1e-5, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6),
+        mut_conv, mut_mm)
+    g_mm = jax.grad(loss)(variables, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4),
+        g_conv, g_mm)
