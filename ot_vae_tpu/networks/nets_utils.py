@@ -632,25 +632,31 @@ def mha_attention_fn(query, key, value, bias=None, mask=None,
             and (deterministic or dropout_rate == 0.0)
             and _use_fused_attention(t, d, jax.default_backend(), flag)):
         from ot_vae_tpu.ops.attention_pallas import (
-            fused_attention, fused_attention_packed,
+            fused_attention, fused_attention_bthd,
+            fused_attention_bthd_available, fused_attention_packed,
             fused_attention_packed_available)
 
         scale = float(1.0 / np.sqrt(d))
+        # BTHD kernel (round 5): consumes the DenseGeneral projections'
+        # native [B, T, H·d] layout — the [B,T,H,d] reshape is a free
+        # bitcast, so NO transposes or concats exist at the boundary
+        # (the round-4 dispatch below paid ~10 ms/step of head transposes
+        # + ~0.9 ms/layer packed concats in the vit128 bs32 profile).
+        if fused_attention_bthd_available(t, d, h):
+            out = fused_attention_bthd(
+                query.reshape(b, t, h * d), key.reshape(b, t, h * d),
+                value.reshape(b, t, h * d), h, scale)
+            return out.reshape(b, t, h, d)
         if fused_attention_packed_available(t, d, h, query.dtype.itemsize):
             qkv = jnp.concatenate(
                 [query.reshape(b, t, h * d), key.reshape(b, t, h * d),
                  value.reshape(b, t, h * d)], axis=-1)
             out = fused_attention_packed(qkv, h, scale)
             return out.reshape(b, t, h, d)
-        # Wide-head shapes (t·H·C·itemsize past the packed kernel's VMEM
-        # envelope, e.g. the ViT encoder's h8·c64 @ T=1024): the BHTC
-        # kernel grids per (batch·head) and holds ONE head's [T,d] + [T,T]
-        # regardless of H. It still kills the O(T²) HBM logits round trip;
-        # the [B,T,H,C]↔[B,H,T,C] transposes it costs are linear-size.
-        # Measured (round 4, vit128 bf16 bs32 full train step, fetch-
-        # synced): 361.8 img/s vs 241.9 stock XLA (1.50x) — the stock step
-        # moves 3.50 GB/img (T² logits in both passes) vs 1.75 GB/img here,
-        # and both run HBM-bound.
+        # Odd head dims (128 % d != 0): the BHTC kernel grids per
+        # (batch·head) and holds ONE head's [T,d] + [T,T] regardless of H.
+        # It still kills the O(T²) HBM logits round trip at the price of
+        # [B,T,H,C]↔[B,H,T,C] transposes (linear-size).
         out = fused_attention(
             jnp.transpose(query, (0, 2, 1, 3)),
             jnp.transpose(key, (0, 2, 1, 3)),

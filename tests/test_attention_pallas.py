@@ -355,3 +355,54 @@ def test_attention_block_matmul_proj_equals_conv_path(monkeypatch):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4),
         g_conv, g_mm)
+
+
+@pytest.mark.parametrize("b,t,h,d", [(2, 64, 4, 32), (2, 32, 2, 128),
+                                     (1, 64, 8, 64), (2, 48, 2, 16)])
+def test_fused_attention_bthd_matches_einsum(b, t, h, d):
+    """BTHD kernel (round 5: native [B,T,H·d] layout, grid over
+    (batch, head-group)) forward + custom VJP vs the einsum reference."""
+    from ot_vae_tpu.ops.attention_pallas import (
+        fused_attention_bthd, fused_attention_bthd_available)
+
+    assert fused_attention_bthd_available(t, d, h)
+    rng = np.random.default_rng(60 + d)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+               for _ in range(3))
+    scale = 1.0 / np.sqrt(d)
+
+    def ref(q, k, v):
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhts,bshd->bthd", w.astype(q.dtype), v)
+
+    def flat(x):
+        return x.reshape(b, t, h * d)
+
+    out = fused_attention_bthd(flat(q), flat(k), flat(v), h, scale,
+                               interpret=True).reshape(b, t, h, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v)),
+                               atol=2e-5, rtol=2e-5)
+
+    co = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    gk = jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention_bthd(flat(q), flat(k), flat(v), h, scale,
+                             interpret=True).reshape(b, t, h, d) * co),
+        (0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(ref(q, k, v) * co),
+                  (0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_fused_attention_bthd_eligibility():
+    """Head dim must divide the 128-lane tile and H must split into whole
+    head-groups; the T/d VMEM window is the BHTC one."""
+    from ot_vae_tpu.ops.attention_pallas import fused_attention_bthd_available
+
+    assert fused_attention_bthd_available(1024, 64, 8)
+    assert fused_attention_bthd_available(1024, 128, 4)
+    assert not fused_attention_bthd_available(2048, 64, 8)  # T window
+    assert not fused_attention_bthd_available(1024, 48, 8)  # 128 % 48 != 0
+    assert not fused_attention_bthd_available(1024, 32, 6)  # 6 % hg(4) != 0

@@ -20,9 +20,12 @@ from ot_vae_tpu.networks.nets_utils import mha_attention_fn
 
 
 def _force_kernel(monkeypatch):
-    """Route mha_attention_fn to the interpret-mode kernel on CPU."""
+    """Route mha_attention_fn to the interpret-mode kernels on CPU."""
     monkeypatch.setattr(nets_utils, "_use_fused_attention",
                         lambda t, ch, backend, flag: flag != "0")
+    monkeypatch.setattr(
+        ap, "fused_attention_bthd",
+        functools.partial(ap.fused_attention_bthd, interpret=True))
     monkeypatch.setattr(
         ap, "fused_attention_packed",
         functools.partial(ap.fused_attention_packed, interpret=True))
@@ -50,6 +53,7 @@ def test_mha_attention_fn_falls_back_when_ineligible(monkeypatch):
         raise AssertionError("kernel must not be called")
 
     monkeypatch.setattr(ap, "fused_attention_packed", boom)
+    monkeypatch.setattr(ap, "fused_attention_bthd", boom)
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((2, 8, 2, 8)), jnp.float32)
     kv = jnp.asarray(rng.standard_normal((2, 16, 2, 8)), jnp.float32)
