@@ -63,20 +63,29 @@ class TransformerLayer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     cross: bool = False
+    causal: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, memory=None, mask=None, train: bool = False,
                  decode: bool = False):
-        # attention_fn routes mask-free self-attention through the packed-qkv
-        # Pallas kernel at T ≥ 512 on TPU (the CNN path's dispatch policy,
-        # nets_utils.mha_attention_fn); masked/decode/dropout calls take the
-        # stock flax path. Params and module tree are identical either way.
+        # attention_fn routes self-attention through the BTHD Pallas kernel
+        # at T ≥ 512 on TPU (nets_utils.mha_attention_fn) — including
+        # train-mode attention-weight DROPOUT (broadcast multiplier) and,
+        # via ``causal_hint``, the causally-masked AR stack (the layer
+        # statically knows its mask is lower-triangular, so the kernel
+        # applies it in VMEM instead of reading a [T,T] mask operand and
+        # falling back to stock). Decode-cache single-token calls are
+        # shape-ineligible and take the stock flax path. Params and module
+        # tree are identical either way.
+        import functools
+
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=not train,
             decode=decode,  # flax KV cache ('cache' collection) for AR decode
-            attention_fn=mha_attention_fn,
+            attention_fn=functools.partial(mha_attention_fn,
+                                           causal_hint=self.causal),
         )
         h = attn(x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype)(
@@ -88,6 +97,7 @@ class TransformerLayer(nn.Module):
             cross_attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dtype=self.dtype,
                 dropout_rate=self.dropout, deterministic=not train,
+                attention_fn=mha_attention_fn,  # cross lengths route too
             )
             h = cross_attn(x, memory)
             x = nn.LayerNorm(dtype=self.dtype)(
@@ -231,6 +241,7 @@ class ViT(nn.Module):
             mask = jnp.tril(jnp.ones((x.shape[1], x.shape[1]), bool))[None, None]
             for _ in range(self.depth):
                 x = TransformerLayer(self.dim, self.n_heads, mlp_dim, self.dropout,
+                                     causal=True,
                                      dtype=self.dtype)(x, mask=mask, train=train,
                                                        decode=True)
             return x
@@ -277,6 +288,7 @@ class ViT(nn.Module):
         if self.preprocess_depth is None:
             for _ in range(self.depth):
                 x = TransformerLayer(self.dim, self.n_heads, mlp_dim, self.dropout,
+                                     causal=self.causal_mask,
                                      dtype=self.dtype)(x, mask=causal(x.shape[1]),
                                                        train=train)
             out = jnp.take(x, out_idx, axis=1)
@@ -289,7 +301,8 @@ class ViT(nn.Module):
             out = jnp.take(x, out_idx, axis=1)
             for _ in range(self.depth):
                 out = TransformerLayer(self.dim, self.n_heads, mlp_dim, self.dropout,
-                                       cross=True, dtype=self.dtype)(
+                                       cross=True, causal=self.causal_mask,
+                                       dtype=self.dtype)(
                     out, memory=memory, mask=causal(out.shape[1]), train=train)
 
         if self.embed_to_patch:

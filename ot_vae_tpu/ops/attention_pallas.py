@@ -65,6 +65,7 @@ __all__ = [
     "fused_attention_block",
     "fused_attention_block_available",
     "fused_attention_bthd",
+    "fused_attention_bthd_dropout",
     "fused_attention_bthd_available",
 ]
 
@@ -664,28 +665,58 @@ def _bthd_slices(d: int, h: int):
     return slice(h * d, (h + 1) * d)
 
 
-def _fwd_kernel_bthd(q_ref, k_ref, v_ref, o_ref, l_ref,
-                     *, scale: float, d: int, hg: int):
+def _causal_neg(tq: int, tk: int):
+    """Additive mask [tq, tk]: 0 on/below the diagonal, -inf above (query i
+    attends keys ≤ i; equal lengths assumed by the caller)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    return jnp.where(col > row, -jnp.inf, 0.0).astype(jnp.float32)
+
+
+def _fwd_kernel_bthd(*refs, scale: float, d: int, hg: int, causal: bool,
+                     has_mult: bool):
+    if has_mult:
+        mult_ref, q_ref, k_ref, v_ref, o_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, l_ref = refs
+        mult_ref = None
+    neg = _causal_neg(q_ref.shape[1], k_ref.shape[1]) if causal else None
     for h in range(hg):
         cs = _bthd_slices(d, h)
-        q = q_ref[0, :, cs]  # [T, d]
-        k = k_ref[0, :, cs]
+        q = q_ref[0, :, cs]  # [Tq, d]
+        k = k_ref[0, :, cs]  # [Tk, d]
         v = v_ref[0, :, cs]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [T, T] f32
+        ) * scale  # [Tq, Tk] f32
+        if causal:
+            s = s + neg
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
+        pw = p / denom
+        if has_mult:
+            # post-softmax dropout multiplier (mask/keep_prob, flax
+            # broadcast-dropout semantics: ONE [Tq,Tk] shared by every
+            # (batch, head) — bit-identical to the stock path's mask)
+            pw = pw * mult_ref[...].astype(jnp.float32)
         o = jnp.dot(
-            (p / denom).astype(v.dtype), v, preferred_element_type=jnp.float32
+            pw.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         o_ref[0, :, cs] = o.astype(o_ref.dtype)
         l_ref[0, h, :, :] = (m + jnp.log(denom)).astype(l_ref.dtype)
 
 
-def _bwd_kernel_bthd(q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale: float, d: int, hg: int):
+def _bwd_kernel_bthd(*refs, scale: float, d: int, hg: int, causal: bool,
+                     has_mult: bool):
+    if has_mult:
+        (mult_ref, q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+        mult_ref = None
+    neg = _causal_neg(q_ref.shape[1], k_ref.shape[1]) if causal else None
     for h in range(hg):
         cs = _bthd_slices(d, h)
         q = q_ref[0, :, cs]
@@ -693,25 +724,30 @@ def _bwd_kernel_bthd(q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
         v = v_ref[0, :, cs]
         o = o_ref[0, :, cs]
         do = do_ref[0, :, cs]
-        lse = l_ref[0, h, :, :].astype(jnp.float32)  # [T, 1]
+        lse = l_ref[0, h, :, :].astype(jnp.float32)  # [Tq, 1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        p = jnp.exp(s - lse)  # [T, T] f32, rows sum to 1
+        if causal:
+            s = s + neg
+        p = jnp.exp(s - lse)  # [Tq, Tk] f32, rows sum to 1
+        pd = p * mult_ref[...].astype(jnp.float32) if has_mult else p
         delta = jnp.sum(
             do.astype(jnp.float32) * o.astype(jnp.float32),
             axis=-1, keepdims=True)
-        dv = jax.lax.dot_general(  # Pᵀ dO → [T, d]
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        dv = jax.lax.dot_general(  # Pdᵀ dO → [Tk, d]
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(  # dO Vᵀ → [T, T]
+        dp = jax.lax.dot_general(  # dO Vᵀ → [Tq, Tk]
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if has_mult:
+            dp = dp * mult_ref[...].astype(jnp.float32)
         ds = (p * (dp - delta) * scale).astype(q.dtype)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(  # dSᵀ Q → [T, d]
+        dk = jax.lax.dot_general(  # dSᵀ Q → [Tk, d]
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dq_ref[0, :, cs] = dq.astype(dq_ref.dtype)
@@ -727,6 +763,10 @@ def _bthd_lse_spec(hg, t):
     return pl.BlockSpec((1, hg, t, 1), lambda i, j: (i, j, 0, 0))
 
 
+def _mult_spec(tq, tk):
+    return pl.BlockSpec((tq, tk), lambda i, j: (0, 0))
+
+
 def _heads_per_block(d: int, n_heads: int) -> int:
     if n_heads * d <= 128:
         # one block spans every head: block width == array width, which
@@ -735,70 +775,117 @@ def _heads_per_block(d: int, n_heads: int) -> int:
     return max(1, 128 // d)
 
 
-def _bthd_fwd_call(q, k, v, n_heads, scale, interpret):
-    b, t, width = q.shape
+def _bthd_fwd_call(q, k, v, mult, n_heads, scale, causal, interpret):
+    b, tq, width = q.shape
+    tk = k.shape[1]
     d = width // n_heads
     hg = _heads_per_block(d, n_heads)
     w = hg * d
+    has_mult = mult is not None
+    ins = ([_mult_spec(tq, tk)] if has_mult else []) + \
+        [_bthd_spec(tq, w), _bthd_spec(tk, w), _bthd_spec(tk, w)]
+    args = ([mult] if has_mult else []) + [q, k, v]
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_bthd, scale=scale, d=d, hg=hg),
+        functools.partial(_fwd_kernel_bthd, scale=scale, d=d, hg=hg,
+                          causal=causal, has_mult=has_mult),
         grid=(b, n_heads // hg),
-        in_specs=[_bthd_spec(t, w)] * 3,
-        out_specs=(_bthd_spec(t, w), _bthd_lse_spec(hg, t)),
+        in_specs=ins,
+        out_specs=(_bthd_spec(tq, w), _bthd_lse_spec(hg, tq)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t, width), q.dtype),
-            jax.ShapeDtypeStruct((b, n_heads, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, tq, width), q.dtype),
+            jax.ShapeDtypeStruct((b, n_heads, tq, 1), jnp.float32),
         ),
-        cost_estimate=_attn_cost(b * n_heads, t, d, q.dtype.itemsize,
-                                 backward=False),
+        cost_estimate=_attn_cost(b * n_heads, max(tq, tk), d,
+                                 q.dtype.itemsize, backward=False),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_bthd(q, k, v, n_heads, scale, interpret):
-    return _bthd_fwd_call(q, k, v, n_heads, scale, interpret)[0]
-
-
-def _fused_bthd_fwd(q, k, v, n_heads, scale, interpret):
-    out, lse = _bthd_fwd_call(q, k, v, n_heads, scale, interpret)
-    return out, (q, k, v, out, lse)
-
-
-def _fused_bthd_bwd(n_heads, scale, interpret, res, do):
-    q, k, v, out, lse = res
-    b, t, width = q.shape
+def _bthd_bwd_call(q, k, v, mult, out, lse, do, n_heads, scale, causal,
+                   interpret):
+    b, tq, width = q.shape
+    tk = k.shape[1]
     d = width // n_heads
     hg = _heads_per_block(d, n_heads)
     w = hg * d
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_bthd, scale=scale, d=d, hg=hg),
+    has_mult = mult is not None
+    ins = ([_mult_spec(tq, tk)] if has_mult else []) + \
+        [_bthd_spec(tq, w), _bthd_spec(tk, w), _bthd_spec(tk, w),
+         _bthd_spec(tq, w), _bthd_lse_spec(hg, tq), _bthd_spec(tq, w)]
+    args = ([mult] if has_mult else []) + [q, k, v, out, lse, do]
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_bthd, scale=scale, d=d, hg=hg,
+                          causal=causal, has_mult=has_mult),
         grid=(b, n_heads // hg),
-        in_specs=[_bthd_spec(t, w)] * 4 + [_bthd_lse_spec(hg, t),
-                                           _bthd_spec(t, w)],
-        out_specs=(_bthd_spec(t, w),) * 3,
+        in_specs=ins,
+        out_specs=(_bthd_spec(tq, w), _bthd_spec(tk, w), _bthd_spec(tk, w)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t, width), q.dtype),
-            jax.ShapeDtypeStruct((b, t, width), k.dtype),
-            jax.ShapeDtypeStruct((b, t, width), v.dtype),
+            jax.ShapeDtypeStruct((b, tq, width), q.dtype),
+            jax.ShapeDtypeStruct((b, tk, width), k.dtype),
+            jax.ShapeDtypeStruct((b, tk, width), v.dtype),
         ),
-        cost_estimate=_attn_cost(b * n_heads, t, d, q.dtype.itemsize,
-                                 backward=True),
+        cost_estimate=_attn_cost(b * n_heads, max(tq, tk), d,
+                                 q.dtype.itemsize, backward=True),
         interpret=interpret,
-    )(q, k, v, out, lse, do)
-    return dq, dk, dv
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_bthd(q, k, v, n_heads, scale, causal, interpret):
+    return _bthd_fwd_call(q, k, v, None, n_heads, scale, causal, interpret)[0]
+
+
+def _fused_bthd_fwd(q, k, v, n_heads, scale, causal, interpret):
+    out, lse = _bthd_fwd_call(q, k, v, None, n_heads, scale, causal,
+                              interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _fused_bthd_bwd(n_heads, scale, causal, interpret, res, do):
+    q, k, v, out, lse = res
+    return _bthd_bwd_call(q, k, v, None, out, lse, do, n_heads, scale,
+                          causal, interpret)
 
 
 _fused_bthd.defvjp(_fused_bthd_fwd, _fused_bthd_bwd)
 
 
-def fused_attention_bthd_available(t: int, d: int, n_heads: int) -> bool:
-    """Shape window for the BTHD kernel: the BHTC VMEM window, plus either
-    (a) all heads fit one 128-lane block (H·d ≤ 128 — block width equals
-    the array width), or (b) head dim divides the 128-lane tile and the
-    head count splits into whole lane-aligned groups."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_bthd_drop(q, k, v, mult, n_heads, scale, causal, interpret):
+    return _bthd_fwd_call(q, k, v, mult, n_heads, scale, causal,
+                          interpret)[0]
+
+
+def _fused_bthd_drop_fwd(q, k, v, mult, n_heads, scale, causal, interpret):
+    out, lse = _bthd_fwd_call(q, k, v, mult, n_heads, scale, causal,
+                              interpret)
+    return out, (q, k, v, mult, out, lse)
+
+
+def _fused_bthd_drop_bwd(n_heads, scale, causal, interpret, res, do):
+    q, k, v, mult, out, lse = res
+    dq, dk, dv = _bthd_bwd_call(q, k, v, mult, out, lse, do, n_heads, scale,
+                                causal, interpret)
+    # the dropout multiplier comes from an rng draw — nothing consumes its
+    # cotangent, and the stock path's mask gets none either
+    return dq, dk, dv, jnp.zeros_like(mult)
+
+
+_fused_bthd_drop.defvjp(_fused_bthd_drop_fwd, _fused_bthd_drop_bwd)
+
+
+def fused_attention_bthd_available(
+    t: int, d: int, n_heads: int, tk: int = None,
+) -> bool:
+    """Shape window for the BTHD kernel: the BHTC VMEM window (for both
+    sequence lengths when cross-shaped), plus either (a) all heads fit one
+    128-lane block (H·d ≤ 128 — block width equals the array width), or
+    (b) head dim divides the 128-lane tile and the head count splits into
+    whole lane-aligned groups."""
     if not (t <= _MAX_T and d <= _MAX_D):
+        return False
+    if tk is not None and not tk <= _MAX_T:
         return False
     if n_heads * d <= 128:
         return True
@@ -808,21 +895,45 @@ def fused_attention_bthd_available(t: int, d: int, n_heads: int) -> bool:
 def fused_attention_bthd(
     q: jax.Array, k: jax.Array, v: jax.Array,
     n_heads: int, scale: float, interpret: bool = False,
+    causal: bool = False,
 ) -> jax.Array:
     """softmax(scale · Q Kᵀ) V on three [B, T, H·d] inputs — the layout
     multi-head Dense projections produce natively ([B, T, H, d] is a free
     bitcast). No transposes or concats at the kernel boundary: the grid is
     (batch, head-group) and heads are VMEM column slices.
 
-    :param q/k/v: [B, T, H·d], heads contiguous along the last axis
+    :param q: [B, Tq, H·d], heads contiguous along the last axis
+    :param k/v: [B, Tk, H·d] — cross-attention lengths allowed
     :param n_heads: number of attention heads H
     :param scale: logit scale (1/sqrt(d) in the standard parameterization)
-    :return: [B, T, H·d] in q's dtype
+    :param causal: apply the lower-triangular mask in-kernel (the AR
+        decoder's self-attention; requires Tq == Tk)
+    :return: [B, Tq, H·d] in q's dtype
     """
     b, t, width = q.shape
     assert width % n_heads == 0, (width, n_heads)
-    assert q.shape == k.shape == v.shape
-    return _fused_bthd(q, k, v, n_heads, float(scale), interpret)
+    assert k.shape == v.shape and k.shape[0] == b and k.shape[2] == width
+    assert not causal or k.shape[1] == t, "causal needs equal lengths"
+    return _fused_bthd(q, k, v, n_heads, float(scale), causal, interpret)
+
+
+def fused_attention_bthd_dropout(
+    q: jax.Array, k: jax.Array, v: jax.Array, mult: jax.Array,
+    n_heads: int, scale: float, interpret: bool = False,
+    causal: bool = False,
+) -> jax.Array:
+    """:func:`fused_attention_bthd` with a post-softmax dropout multiplier
+    ``mult`` [Tq, Tk] (mask / keep_prob — flax ``broadcast_dropout``
+    semantics: ONE multiplier shared across batch and heads, so its HBM
+    footprint is T² — not B·H·T²). The multiplier is built OUTSIDE with
+    the caller's dropout rng (bit-identical to the stock flax mask) and
+    re-read in the backward, which regenerates P from the logsumexp and
+    applies the identical mask — train-mode long-T attention keeps the
+    kernel (VERDICT r4 #4)."""
+    b, t, width = q.shape
+    assert mult.shape == (t, k.shape[1]), (mult.shape, q.shape, k.shape)
+    return _fused_bthd_drop(q, k, v, mult, n_heads, float(scale), causal,
+                            interpret)
 
 
 def fused_attention_block_available(t: int, d: int) -> bool:

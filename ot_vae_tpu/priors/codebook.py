@@ -55,6 +55,14 @@ class CodebookPrior(PriorModule):
     kmeans_decay: Optional[float] = 0.99
     laplace_eps: Optional[float] = 1e-5
     update_with_autograd: bool = False
+    # Reference parity: ONE codebook shared across token positions
+    # (reference: prior/codebook.py:66 — ``CodebookModel(1, dimensionality)``
+    # with the leading dim broadcasting over ``prod(batch_shape)``).
+    # ``True`` keeps the round-≤4 behavior (an independent codebook per
+    # token position) — K·D·n_tokens parameters instead of K·D; at the
+    # production DAD scale that deviation was 33.5M extra f32 params whose
+    # grad+Adam traffic alone was the top op of the profiled train step.
+    per_token_codebook: bool = False
 
     @property
     def _dims(self):
@@ -89,9 +97,15 @@ class CodebookPrior(PriorModule):
         return int(np.prod(self.batch_shape))
 
     @property
+    def _codebook_leading(self) -> Tuple[int, ...]:
+        if self.per_token_codebook and self.n_tokens > 1:
+            return (self.n_tokens,)
+        return (1,)
+
+    @property
     def codebook_model(self) -> CodebookModel:
         return CodebookModel(
-            leading_shape=(max(self.n_tokens, 1),) if self.n_tokens > 1 else (1,),
+            leading_shape=self._codebook_leading,
             dim=self.dimensionality,
             n_components=self.n_components,
             metric=self.metric, p=self.p, topk=self.topk,
@@ -129,7 +143,8 @@ class CodebookPrior(PriorModule):
             # (ot/distribution_models/codebook_model.py:89)
             self._cb_param = self.param(
                 "codebook", nn.initializers.normal(1.0),
-                (max(self.n_tokens, 1), self.n_components, self.dimensionality),
+                (*self._codebook_leading, self.n_components,
+                 self.dimensionality),
             )
         else:
             self._cb_state = self.variable(
@@ -141,10 +156,10 @@ class CodebookPrior(PriorModule):
         if self.update_with_autograd:
             from ot_vae_tpu.distributions.codebook import CodebookState
 
-            T = max(self.n_tokens, 1)
             return CodebookState(
                 codebook=self._cb_param,
-                n_obs=jnp.ones((T, self.n_components), self._cb_param.dtype),
+                n_obs=jnp.ones((*self._codebook_leading, self.n_components),
+                               self._cb_param.dtype),
                 s1=jnp.zeros_like(self._cb_param),
                 initialized=jnp.asarray(True),
             )
@@ -195,7 +210,12 @@ class CodebookPrior(PriorModule):
 
         k_update, k_assign = jax.random.split(key)
         if train and not self.update_with_autograd and not self.is_initializing():
-            state = model.update(state, lax.stop_gradient(xf), k_update, comm=comm)
+            xu = lax.stop_gradient(xf)
+            if self._codebook_leading == (1,) and xu.shape[0] != 1:
+                # shared codebook: every token position's vectors update the
+                # ONE codebook (reference: CodebookModel(1, dim) broadcast)
+                xu = xu.reshape(1, -1, xu.shape[-1])
+            state = model.update(state, xu, k_update, comm=comm)
             self._cb_state.value = state
 
         encodings, assignment = model.predict(
@@ -218,10 +238,21 @@ class CodebookPrior(PriorModule):
 
     def sample(self, key: jax.Array, shape, **_) -> jax.Array:
         """Draw codebook atoms per token position and reassemble the latent
-        (reference: prior/codebook.py:107-112)."""
+        (reference: prior/codebook.py:107-112 — indices are drawn
+        INDEPENDENTLY for every (token, batch) slot, from the one shared
+        categorical when the codebook is shared)."""
+        from ot_vae_tpu.distributions.codebook import _EPS
+
         model = self.codebook_model
+        state = self._current_state()
         batch_size = shape[0]
-        draws = model.sample(self._current_state(), key, batch_size)  # [T, B, D]
+        T = max(self.n_tokens, 1)
+        if self._codebook_leading == (1,) and T > 1:
+            logits = jnp.log(model.weights(state) + _EPS)[0]  # [K]
+            idx = jax.random.categorical(key, logits, shape=(T, batch_size))
+            draws = state.codebook[0][idx]  # [T, B, D]
+        else:
+            draws = model.sample(state, key, batch_size)  # [T, B, D]
         return self._unflatten(draws)
 
     def codebook(self) -> jax.Array:

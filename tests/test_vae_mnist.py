@@ -18,7 +18,13 @@ from ot_vae_tpu.priors import GaussianPrior
 from ot_vae_tpu.trainer import PartialCheckpoint, Trainer, load_checkpoint, save_checkpoint
 
 _PSNR_PERFORMANCE = 15
-_MAX_EPOCH = 6  # 360 steps reach ~16 dB on the synthetic digits (TPU-verified)
+# Round-5 suite-budget re-derivation (VERDICT r4 #5, TPU v5e drive
+# 2026-08-20): the encoder/decoder fit clears the original 15 dB floor at
+# 4 epochs (240 steps → 15.99 dB; 6 epochs gave 16.75) — the AE fit does
+# NOT (14.78 dB even at 6 epochs on TPU; its CPU-suite trajectory passes
+# 15 only at the full 6), so the two fits run different epoch counts.
+_MAX_EPOCH = 4          # encoder/decoder fit (TPU 15.99 dB)
+_MAX_EPOCH_AE = 6       # autoencoder fit (TPU 14.78 dB at 6 — keep)
 
 # OT_VAE_FAST_TESTS=1 turns this e2e suite into a smoke gate (reduced epochs,
 # minimal floor): same code paths, ~5x faster on the single CPU core. The
@@ -29,6 +35,7 @@ import os as _os
 pytestmark = pytest.mark.e2e
 if _os.environ.get("OT_VAE_FAST_TESTS") == "1":
     _MAX_EPOCH = max(1, _MAX_EPOCH // 4)
+    _MAX_EPOCH_AE = max(1, _MAX_EPOCH_AE // 4)
     _PSNR_PERFORMANCE = 5.0
 
 
@@ -118,7 +125,7 @@ def test_vae_autoencoder_training_and_partial_checkpoint(tmp_path):
     )
     model = VAE(metrics=_metrics(), autoencoder=autoencoder,
                 prior=GaussianPrior(loss_coeff=0.1))
-    trainer = Trainer(max_epochs=_MAX_EPOCH, seed=42)
+    trainer = Trainer(max_epochs=_MAX_EPOCH_AE, seed=42)
     trainer.fit(model, dm)
     results = trainer.test(model, dm)
     assert results["test/metrics/psnr"] > _PSNR_PERFORMANCE, results
