@@ -155,7 +155,7 @@ if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 128
     dtype = jnp.float32 if "f32" in sys.argv[1:] else jnp.bfloat16
     if "vit" in sys.argv[1:]:
-        model = bench._build_vit_big_model(dtype=dtype, head_dim=64)
+        model = bench._build_vit_big_model(dtype=dtype, head_dim=128)
     else:
         model = bench._build_big_model(dtype=dtype, attn_head_dim=64)
     step, params, opt_state, variables, pool = make_step(model, bs, dtype)

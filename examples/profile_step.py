@@ -141,7 +141,7 @@ if __name__ == "__main__":
     dtype = jnp.float32 if "f32" in sys.argv[1:] else jnp.bfloat16
     img_shape = (128, 128, 3)
     if "vit" in sys.argv[1:]:  # round-4 ViT campaign target
-        model = bench._build_vit_big_model(dtype=dtype, head_dim=64)
+        model = bench._build_vit_big_model(dtype=dtype, head_dim=128)
     elif "vit_cond" in sys.argv[1:]:
         model = bench._build_vit_cond_model(dtype=dtype)
         img_shape = (32, 32, 3)
