@@ -65,7 +65,9 @@ def test_auto_diffusion_training_and_sampling():
     model = _model()
     assert tuple(model.latent_size) == (2, 2, 64)
 
-    trainer = Trainer(max_epochs=_MAX_EPOCH, seed=42, log_every_n_steps=25)
+    # final-epoch-only validation (trajectory-neutral; suite budget)
+    trainer = Trainer(max_epochs=_MAX_EPOCH, seed=42, log_every_n_steps=25,
+                      check_val_every_n_epoch=_MAX_EPOCH)
     trainer.fit(model, dm)
     results = trainer.test(model, dm)
     assert results["test/metrics/psnr"] > _PSNR_PERFORMANCE, results

@@ -272,6 +272,8 @@ def test_imagenet224_recipe_builds_and_smoke_steps():
     import jax
     import jax.numpy as jnp
 
+    import numpy as np
+
     cfg = load_configs(["configs/vae/imagenet224.yaml"])
     cfg["data"]["init_args"].update(
         train_batch_size=2, val_batch_size=2, test_batch_size=2,

@@ -145,7 +145,9 @@ def test_dad():
     )
     assert tuple(model.latent_size) == (16, _DIM)
 
-    trainer = Trainer(max_epochs=_MAX_EPOCH, seed=42, log_every_n_steps=50)
+    # final-epoch-only validation (trajectory-neutral; suite budget)
+    trainer = Trainer(max_epochs=_MAX_EPOCH, seed=42, log_every_n_steps=50,
+                      check_val_every_n_epoch=_MAX_EPOCH)
     trainer.fit(model, dm)
 
     results = trainer.test(model, dm)

@@ -54,8 +54,10 @@ def test_dispatch_passes_width_envelope():
 
 
 def test_mha_attention_fn_wide_heads_use_bhtc(monkeypatch):
-    """At a width-envelope-rejected shape the hook must route to the BHTC
-    kernel, not the packed one (and not stock)."""
+    """Routing ladder after round 5: wide-head self-attention prefers the
+    BTHD kernel (native layout, no packed-width envelope); head dims that
+    do NOT divide the 128-lane tile fall to the per-(batch*head) BHTC
+    kernel; the packed kernel is never chosen over BTHD here."""
     import functools
 
     import jax.numpy as jnp
@@ -71,26 +73,44 @@ def test_mha_attention_fn_wide_heads_use_bhtc(monkeypatch):
     called = {}
 
     real_bhtc = ap.fused_attention
+    real_bthd = ap.fused_attention_bthd
 
     def spy_bhtc(*a, **k):
         called["bhtc"] = True
         return real_bhtc(*a, interpret=True)
 
+    def spy_bthd(*a, **k):
+        called["bthd"] = True
+        k["interpret"] = True
+        return real_bthd(*a, **k)
+
     def no_packed(*a, **k):
         raise AssertionError("packed kernel must not be used at this width")
 
     monkeypatch.setattr(ap, "fused_attention", spy_bhtc)
+    monkeypatch.setattr(ap, "fused_attention_bthd", spy_bthd)
     monkeypatch.setattr(ap, "fused_attention_packed", no_packed)
 
     rng = np.random.default_rng(0)
-    # small-T probe (interpret-mode-friendly) with a forced policy but the
-    # REAL envelope check inside mha_attention_fn: t128·h32·d64·f32 → 1 MB
-    # per packed tensor, over the 0.5 MB envelope → must take BHTC
+    # t128*h32*d64 f32: 1 MB per packed tensor (over the packed envelope);
+    # 128 % 64 == 0 so the BTHD kernel takes it in its native layout
     q = jnp.asarray(rng.standard_normal((1, 128, 32, 64)), jnp.float32)
     assert not ap.fused_attention_packed_available(128, 64, 32, 4)
 
     out = nets_utils.mha_attention_fn(q, q, q, deterministic=True)
-    assert called.get("bhtc")
+    assert called.get("bthd") and not called.get("bhtc")
     ref = dot_product_attention(q, q, q, deterministic=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # d=20, h=7: H*d > 128 with 128 % 20 != 0 (no BTHD) and d % 8 != 0
+    # (no packed) -> BHTC fallback
+    called.clear()
+    q2 = jnp.asarray(rng.standard_normal((1, 64, 7, 20)), jnp.float32)
+    assert not ap.fused_attention_bthd_available(64, 20, 7)
+    assert not ap.fused_attention_packed_available(64, 20, 7, 4)
+    out2 = nets_utils.mha_attention_fn(q2, q2, q2, deterministic=True)
+    assert called.get("bhtc") and not called.get("bthd")
+    ref2 = dot_product_attention(q2, q2, q2, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=2e-5, atol=2e-5)

@@ -18,13 +18,18 @@ from ot_vae_tpu.priors import GaussianPrior
 from ot_vae_tpu.trainer import PartialCheckpoint, Trainer, load_checkpoint, save_checkpoint
 
 _PSNR_PERFORMANCE = 15
-# Round-5 suite-budget re-derivation (VERDICT r4 #5, TPU v5e drive
-# 2026-08-20): the encoder/decoder fit clears the original 15 dB floor at
-# 4 epochs (240 steps → 15.99 dB; 6 epochs gave 16.75) — the AE fit does
-# NOT (14.78 dB even at 6 epochs on TPU; its CPU-suite trajectory passes
-# 15 only at the full 6), so the two fits run different epoch counts.
-_MAX_EPOCH = 4          # encoder/decoder fit (TPU 15.99 dB)
-_MAX_EPOCH_AE = 6       # autoencoder fit (TPU 14.78 dB at 6 — keep)
+# Round-5 suite-budget re-derivation (VERDICT r4 #5, TPU v5e drives +
+# CPU-suite validations 2026-08-20/21): the TRAINING floor clears at 4
+# epochs (normalized test metric: TPU 15.99 dB at 240 steps; 5 → 16.36;
+# 6 → 16.75), but the RAW-DATA inference check (denormalized 28×28, no
+# zero-padding credit — consistently ~1.3 dB below the normalized metric)
+# measured 14.61 (4 ep) and 14.89 (5 ep) on the CPU-suite trajectory, so
+# BOTH original 15 dB floors hold only at the full 6 epochs — epoch
+# counts stay put and the suite budget is recovered from the
+# trajectory-neutral interior validation epochs instead (below;
+# SUITE_r05.md).
+_MAX_EPOCH = 6          # encoder/decoder fit
+_MAX_EPOCH_AE = 6       # autoencoder fit
 
 # OT_VAE_FAST_TESTS=1 turns this e2e suite into a smoke gate (reduced epochs,
 # minimal floor): same code paths, ~5x faster on the single CPU core. The
@@ -72,7 +77,11 @@ def test_vae_encoder_decoder_training(tmp_path):
     )
     assert tuple(model.latent_size) == (latent_res, latent_res, latent_ch)
 
-    trainer = Trainer(max_epochs=_MAX_EPOCH, seed=42, log_every_n_steps=25)
+    # validate only on the final epoch: interior val epochs do not touch
+    # the seeded train trajectory (A/B-verified: bit-identical metrics at
+    # every frequency) and cost ~25 s each on the 1-core suite host
+    trainer = Trainer(max_epochs=_MAX_EPOCH, seed=42, log_every_n_steps=25,
+                      check_val_every_n_epoch=_MAX_EPOCH)
     trainer.fit(model, dm)
 
     results = trainer.test(model, dm)
@@ -125,7 +134,8 @@ def test_vae_autoencoder_training_and_partial_checkpoint(tmp_path):
     )
     model = VAE(metrics=_metrics(), autoencoder=autoencoder,
                 prior=GaussianPrior(loss_coeff=0.1))
-    trainer = Trainer(max_epochs=_MAX_EPOCH_AE, seed=42)
+    trainer = Trainer(max_epochs=_MAX_EPOCH_AE, seed=42,
+                      check_val_every_n_epoch=_MAX_EPOCH_AE)
     trainer.fit(model, dm)
     results = trainer.test(model, dm)
     assert results["test/metrics/psnr"] > _PSNR_PERFORMANCE, results
